@@ -1,0 +1,495 @@
+"""
+Minimal, dependency-free FITS reader/writer.
+
+The reference pipeline leans on astropy.io.fits for every product (TESS FFIs,
+TPFs, light curves — e.g. photometry/io.py:25-93, BasePhotometry.py:1417-1728).
+astropy is not a dependency of this framework: FITS only appears at the host
+I/O boundary, so a small, fast, NumPy-native implementation is all that is
+needed.  Supports:
+
+- Primary + IMAGE + BINTABLE HDUs, read and write.
+- BITPIX 8/16/32/64/-32/-64 with BSCALE/BZERO (incl. the unsigned-int
+  convention BZERO=2**(bits-1)).
+- BINTABLE TFORM codes L, B, I, J, K, E, D, A (with repeat counts) and
+  2-D column arrays via TDIM.
+- Transparent gzip by filename extension (``.gz``).
+
+Everything is host-side numpy; device code never touches FITS.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+import numpy as np
+
+BLOCK = 2880
+
+__all__ = ["Header", "HDU", "read_fits", "write_fits", "PrimaryHDU",
+           "ImageHDU", "BinTableHDU"]
+
+
+# ---------------------------------------------------------------------------
+# Header
+# ---------------------------------------------------------------------------
+
+class Header:
+    """Ordered FITS header: mapping from keyword to (value, comment).
+
+    Access like a dict (``hdr['NAXIS']`` -> value); ``hdr.comment(key)``
+    returns the comment.  Values are parsed into bool/int/float/str.
+    """
+
+    def __init__(self, cards=None):
+        self._keys: list = []
+        self._values: dict = {}
+        self._comments: dict = {}
+        if cards:
+            for k, v, c in cards:
+                self.set(k, v, c)
+
+    # -- mapping interface ---------------------------------------------------
+    def __contains__(self, key):
+        return key.upper() in self._values
+
+    def __getitem__(self, key):
+        return self._values[key.upper()]
+
+    def __setitem__(self, key, value):
+        if isinstance(value, tuple) and len(value) == 2:
+            self.set(key, value[0], value[1])
+        else:
+            self.set(key, value)
+
+    def __delitem__(self, key):
+        key = key.upper()
+        self._keys.remove(key)
+        del self._values[key]
+        self._comments.pop(key, None)
+
+    def __iter__(self):
+        return iter(self._keys)
+
+    def __len__(self):
+        return len(self._keys)
+
+    def get(self, key, default=None):
+        return self._values.get(key.upper(), default)
+
+    def set(self, key, value, comment=None):
+        key = key.upper()
+        if key not in self._values:
+            self._keys.append(key)
+        self._values[key] = value
+        if comment is not None:
+            self._comments[key] = comment
+
+    def comment(self, key):
+        return self._comments.get(key.upper(), "")
+
+    def items(self):
+        for k in self._keys:
+            yield k, self._values[k]
+
+    def copy(self):
+        h = Header()
+        h._keys = list(self._keys)
+        h._values = dict(self._values)
+        h._comments = dict(self._comments)
+        return h
+
+    # -- parsing -------------------------------------------------------------
+    @staticmethod
+    def _parse_value(raw: str):
+        raw = raw.strip()
+        if not raw:
+            return None
+        if raw.startswith("'"):
+            # FITS string: quoted, '' escapes a quote, trailing spaces stripped
+            end = 1
+            buf = []
+            while end < len(raw):
+                if raw[end] == "'":
+                    if end + 1 < len(raw) and raw[end + 1] == "'":
+                        buf.append("'")
+                        end += 2
+                        continue
+                    break
+                buf.append(raw[end])
+                end += 1
+            return "".join(buf).rstrip()
+        if raw == "T":
+            return True
+        if raw == "F":
+            return False
+        try:
+            if any(c in raw for c in ".eEdD") and not raw.lstrip("+-").isdigit():
+                return float(raw.replace("D", "E").replace("d", "e"))
+            return int(raw)
+        except ValueError:
+            return raw
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Header":
+        hdr = cls()
+        for i in range(0, len(data), 80):
+            card = data[i:i + 80].decode("ascii", errors="replace")
+            key = card[:8].strip()
+            if key == "END":
+                break
+            if key in ("COMMENT", "HISTORY", ""):
+                continue
+            if card[8:10] != "= ":
+                continue
+            rest = card[10:]
+            # split value / comment at first '/' outside quotes
+            in_str = False
+            slash = -1
+            j = 0
+            while j < len(rest):
+                ch = rest[j]
+                if ch == "'":
+                    in_str = not in_str
+                elif ch == "/" and not in_str:
+                    slash = j
+                    break
+                j += 1
+            if slash >= 0:
+                valstr, comment = rest[:slash], rest[slash + 1:].strip()
+            else:
+                valstr, comment = rest, ""
+            hdr.set(key, cls._parse_value(valstr), comment or None)
+        return hdr
+
+    # -- formatting ----------------------------------------------------------
+    @staticmethod
+    def _format_value(value) -> str:
+        if isinstance(value, bool) or isinstance(value, np.bool_):
+            return ("T" if value else "F").rjust(20)
+        if isinstance(value, (int, np.integer)):
+            return str(int(value)).rjust(20)
+        if isinstance(value, (float, np.floating)):
+            if np.isnan(value):
+                return "".rjust(20)  # undefined
+            s = repr(float(value))
+            if "e" in s:
+                s = f"{float(value):.16E}"
+            return s.rjust(20)
+        if value is None:
+            return "".rjust(20)
+        s = str(value).replace("'", "''")
+        return ("'" + s.ljust(8) + "'").ljust(20)
+
+    def to_bytes(self) -> bytes:
+        out = []
+        for key in self._keys:
+            value = self._values[key]
+            comment = self._comments.get(key, "")
+            card = f"{key[:8]:<8}= {self._format_value(value)}"
+            if comment:
+                card += " / " + comment
+            out.append(card[:80].ljust(80))
+        out.append("END".ljust(80))
+        raw = "".join(out).encode("ascii")
+        pad = (-len(raw)) % BLOCK
+        return raw + b" " * pad
+
+
+# ---------------------------------------------------------------------------
+# HDUs
+# ---------------------------------------------------------------------------
+
+_BITPIX_DTYPE = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
+_DTYPE_BITPIX = {"u1": 8, "i2": 16, "i4": 32, "i8": 64, "f4": -32, "f8": -64}
+
+_TFORM_DTYPE = {"L": "?", "B": "u1", "I": ">i2", "J": ">i4", "K": ">i8",
+                "E": ">f4", "D": ">f8"}
+
+
+class HDU:
+    """One header-data unit. ``data`` is an ndarray (image) or dict of columns."""
+
+    def __init__(self, data=None, header: Header = None, name: str = None,
+                 kind: str = "image"):
+        self.data = data
+        self.header = header if header is not None else Header()
+        self.kind = kind  # 'image' | 'bintable'
+        if name:
+            self.header.set("EXTNAME", name)
+
+    @property
+    def name(self):
+        return self.header.get("EXTNAME", "")
+
+    def columns(self):
+        """Column names for a bintable HDU."""
+        if self.kind != "bintable":
+            raise TypeError("not a table HDU")
+        return list(self.data.keys())
+
+
+def PrimaryHDU(data=None, header=None):
+    return HDU(data=data, header=header, kind="image")
+
+
+def ImageHDU(data=None, header=None, name=None):
+    return HDU(data=data, header=header, name=name, kind="image")
+
+
+def BinTableHDU(columns: dict, header=None, name=None):
+    """Build a bintable HDU from an ordered {name: ndarray} mapping."""
+    return HDU(data=dict(columns), header=header, name=name, kind="bintable")
+
+
+# ---------------------------------------------------------------------------
+# Reading
+# ---------------------------------------------------------------------------
+
+def _open_maybe_gzip(path, mode="rb"):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def _read_header(fh) -> Header:
+    blocks = b""
+    while True:
+        block = fh.read(BLOCK)
+        if len(block) < BLOCK:
+            if not blocks:
+                return None
+            raise EOFError("Truncated FITS header")
+        blocks += block
+        # look for the END card at an 80-byte boundary
+        for i in range(0, len(block), 80):
+            if block[i:i + 8].rstrip() == b"END":
+                return Header.from_bytes(blocks)
+
+
+def _parse_tform(tform: str):
+    tform = tform.strip()
+    i = 0
+    while i < len(tform) and tform[i].isdigit():
+        i += 1
+    repeat = int(tform[:i]) if i else 1
+    code = tform[i]
+    return repeat, code
+
+
+def _read_data(fh, hdr: Header):
+    naxis = int(hdr.get("NAXIS", 0))
+    if naxis == 0:
+        return None, "image"
+    xtension = str(hdr.get("XTENSION", "")).strip().upper()
+    shape = [int(hdr[f"NAXIS{i}"]) for i in range(naxis, 0, -1)]
+    nbytes_per_elem = abs(int(hdr["BITPIX"])) // 8
+    total = int(np.prod(shape)) * nbytes_per_elem
+    raw = fh.read(total)
+    if len(raw) < total:
+        raise EOFError("Truncated FITS data")
+    fh.read((-total) % BLOCK)  # skip padding
+
+    if xtension == "BINTABLE":
+        nrows = shape[0]
+        rowlen = shape[1]
+        tfields = int(hdr["TFIELDS"])
+        rec = np.frombuffer(raw, dtype=np.uint8).reshape(nrows, rowlen)
+        cols = {}
+        offset = 0
+        for f in range(1, tfields + 1):
+            name = str(hdr.get(f"TTYPE{f}", f"COL{f}")).strip()
+            repeat, code = _parse_tform(str(hdr[f"TFORM{f}"]))
+            if code == "A":
+                width = repeat
+                data = rec[:, offset:offset + width].tobytes()
+                arr = np.array([data[i * width:(i + 1) * width].decode("ascii").rstrip()
+                                for i in range(nrows)])
+                offset += width
+            else:
+                dt = np.dtype(_TFORM_DTYPE[code])
+                width = dt.itemsize * repeat
+                arr = rec[:, offset:offset + width].tobytes()
+                arr = np.frombuffer(arr, dtype=dt).reshape(nrows, repeat)
+                tdim = hdr.get(f"TDIM{f}")
+                if tdim:
+                    dims = tuple(int(x) for x in str(tdim).strip("() ").split(","))
+                    arr = arr.reshape((nrows,) + dims[::-1])
+                elif repeat == 1:
+                    arr = arr[:, 0]
+                arr = arr.astype(arr.dtype.newbyteorder("="))
+                offset += width
+            # apply column scaling if present:
+            tz = hdr.get(f"TZERO{f}")
+            ts = hdr.get(f"TSCAL{f}")
+            if ts is not None or tz is not None:
+                arr = arr * (ts if ts is not None else 1) + (tz if tz is not None else 0)
+            cols[name] = arr
+        return cols, "bintable"
+
+    dtype = np.dtype(_BITPIX_DTYPE[int(hdr["BITPIX"])])
+    arr = np.frombuffer(raw, dtype=dtype).reshape(shape)
+    bscale = hdr.get("BSCALE", 1)
+    bzero = hdr.get("BZERO", 0)
+    if bscale != 1 or bzero != 0:
+        if isinstance(bscale, int) and isinstance(bzero, int) and arr.dtype.kind in "iu":
+            arr = arr.astype(np.int64) * bscale + bzero
+        else:
+            arr = arr.astype(np.float64) * bscale + bzero
+    else:
+        arr = arr.astype(dtype.newbyteorder("="))
+    return arr, "image"
+
+
+def read_fits(path) -> list:
+    """Read all HDUs of a FITS file (optionally gzipped). Returns [HDU, ...]."""
+    hdus = []
+    with _open_maybe_gzip(path, "rb") as fh:
+        while True:
+            try:
+                hdr = _read_header(fh)
+            except EOFError:
+                break
+            if hdr is None:
+                break
+            data, kind = _read_data(fh, hdr)
+            hdus.append(HDU(data=data, header=hdr, kind=kind))
+    if not hdus:
+        raise OSError(f"Not a FITS file: {path}")
+    return hdus
+
+
+# ---------------------------------------------------------------------------
+# Writing
+# ---------------------------------------------------------------------------
+
+def _image_header(data, primary: bool, user_header: Header) -> Header:
+    hdr = Header()
+    if primary:
+        hdr.set("SIMPLE", True, "conforms to FITS standard")
+    else:
+        hdr.set("XTENSION", "IMAGE", "image extension")
+    if data is None:
+        hdr.set("BITPIX", 8)
+        hdr.set("NAXIS", 0)
+    else:
+        key = data.dtype.str[1:]
+        if key not in _DTYPE_BITPIX:
+            raise TypeError(f"Unsupported image dtype {data.dtype}")
+        hdr.set("BITPIX", _DTYPE_BITPIX[key])
+        hdr.set("NAXIS", data.ndim)
+        for i, n in enumerate(reversed(data.shape)):
+            hdr.set(f"NAXIS{i + 1}", int(n))
+    if not primary:
+        hdr.set("PCOUNT", 0)
+        hdr.set("GCOUNT", 1)
+    if user_header is not None:
+        for k, v in user_header.items():
+            if k in ("SIMPLE", "XTENSION", "BITPIX", "NAXIS", "PCOUNT", "GCOUNT") or k.startswith("NAXIS"):
+                continue
+            hdr.set(k, v, user_header.comment(k) or None)
+    return hdr
+
+
+_NP_TFORM = {"?": "L", "b": "B", "u1": "B", "i2": "I", "i4": "J", "i8": "K",
+             "f4": "E", "f8": "D"}
+
+
+def _column_spec(arr: np.ndarray):
+    """(tform, big-endian dtype, flattened-per-row shape) for one column."""
+    if arr.dtype.kind in ("U", "S"):
+        width = int(str(arr.dtype).split(arr.dtype.kind)[-1] or 1)
+        return f"{width}A", None, width
+    key = arr.dtype.str[1:]
+    if key == "i1":
+        key = "b"
+    code = _NP_TFORM.get(key)
+    if code is None:
+        raise TypeError(f"Unsupported column dtype {arr.dtype}")
+    repeat = int(np.prod(arr.shape[1:])) if arr.ndim > 1 else 1
+    tform = f"{repeat}{code}" if repeat != 1 else code
+    be = np.dtype(_TFORM_DTYPE[code])
+    return tform, be, repeat
+
+
+def _bintable_bytes(cols: dict, user_header: Header, name) -> bytes:
+    names = list(cols.keys())
+    arrays = [np.asarray(cols[n]) for n in names]
+    nrows = len(arrays[0]) if arrays else 0
+    specs = [_column_spec(a) for a in arrays]
+    rowlen = 0
+    for (tform, be, repeat), arr in zip(specs, arrays):
+        rowlen += repeat if be is None else be.itemsize * repeat
+
+    hdr = Header()
+    hdr.set("XTENSION", "BINTABLE", "binary table extension")
+    hdr.set("BITPIX", 8)
+    hdr.set("NAXIS", 2)
+    hdr.set("NAXIS1", rowlen, "width of table in bytes")
+    hdr.set("NAXIS2", nrows, "number of rows in table")
+    hdr.set("PCOUNT", 0)
+    hdr.set("GCOUNT", 1)
+    hdr.set("TFIELDS", len(names))
+    for i, (n, (tform, be, repeat), arr) in enumerate(zip(names, specs, arrays), start=1):
+        hdr.set(f"TTYPE{i}", n)
+        hdr.set(f"TFORM{i}", tform)
+        if arr.ndim > 2:
+            hdr.set(f"TDIM{i}", "(" + ",".join(str(s) for s in arr.shape[:0:-1]) + ")")
+    if name:
+        hdr.set("EXTNAME", name)
+    if user_header is not None:
+        for k, v in user_header.items():
+            if k.startswith(("NAXIS", "TTYPE", "TFORM", "TDIM")) or k in (
+                    "XTENSION", "BITPIX", "PCOUNT", "GCOUNT", "TFIELDS", "EXTNAME"):
+                continue
+            hdr.set(k, v, user_header.comment(k) or None)
+
+    buf = np.zeros((nrows, rowlen), dtype=np.uint8)
+    offset = 0
+    for (tform, be, repeat), arr in zip(specs, arrays):
+        if be is None:  # string column
+            width = repeat
+            raw = np.zeros((nrows, width), dtype="S1")
+            for r in range(nrows):
+                s = str(arr[r])[:width].encode("ascii")
+                raw[r, :len(s)] = np.frombuffer(s, dtype="S1")
+            buf[:, offset:offset + width] = raw.view(np.uint8)
+            offset += width
+        else:
+            flat = arr.reshape(nrows, repeat).astype(be)
+            width = be.itemsize * repeat
+            buf[:, offset:offset + width] = flat.view(np.uint8).reshape(nrows, width)
+            offset += width
+    raw = buf.tobytes()
+    pad = (-len(raw)) % BLOCK
+    return hdr.to_bytes() + raw + b"\x00" * pad
+
+
+def write_fits(path, hdus: list, overwrite: bool = True):
+    """Write a list of HDUs to ``path`` (gzip if it ends with .gz)."""
+    if not overwrite:
+        import os
+        if os.path.exists(path):
+            raise FileExistsError(path)
+    out = _io.BytesIO()
+    for i, hdu in enumerate(hdus):
+        if hdu.kind == "bintable":
+            if i == 0:
+                raise ValueError("Primary HDU cannot be a bintable")
+            out.write(_bintable_bytes(hdu.data, hdu.header, hdu.name or None))
+        else:
+            data = hdu.data
+            if data is not None:
+                data = np.ascontiguousarray(data)
+                key = data.dtype.str[1:]
+                if key not in _DTYPE_BITPIX:
+                    data = data.astype(">f8" if data.dtype.kind == "f" else ">i8")
+            hdr = _image_header(data, primary=(i == 0), user_header=hdu.header)
+            if i == 0:
+                hdr.set("EXTEND", True)
+            out.write(hdr.to_bytes())
+            if data is not None:
+                raw = data.astype(data.dtype.newbyteorder(">")).tobytes()
+                out.write(raw + b"\x00" * ((-len(raw)) % BLOCK))
+    payload = out.getvalue()
+    with _open_maybe_gzip(path, "wb") as fh:
+        fh.write(payload)

@@ -1,0 +1,112 @@
+"""Tests of the dependency-free FITS reader/writer."""
+
+import numpy as np
+import pytest
+
+from photometry_tpu.io import fits as pf
+
+
+def test_image_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.standard_normal((16, 12)).astype(np.float32)
+    hdr = pf.Header()
+    hdr.set("SECTOR", 1, "TESS sector")
+    hdr.set("CAMERA", 3)
+    hdr.set("BJDREFI", 2457000, "integer part of BJD reference")
+    hdr.set("OBJECT", "TIC 260795451")
+    hdr.set("TSTART", 1325.2934258, "observation start")
+    hdr.set("GOODBOOL", True)
+    path = tmp_path / "img.fits"
+    pf.write_fits(path, [pf.PrimaryHDU(img, header=hdr)])
+    hdus = pf.read_fits(path)
+    assert len(hdus) == 1
+    np.testing.assert_array_equal(hdus[0].data, img)
+    h = hdus[0].header
+    assert h["SECTOR"] == 1
+    assert h["OBJECT"] == "TIC 260795451"
+    assert h["TSTART"] == pytest.approx(1325.2934258)
+    assert h["GOODBOOL"] is True
+    assert h.comment("SECTOR") == "TESS sector"
+
+
+def test_gzip_roundtrip(tmp_path):
+    img = np.arange(64, dtype=np.int32).reshape(8, 8)
+    path = tmp_path / "img.fits.gz"
+    pf.write_fits(path, [pf.PrimaryHDU(img)])
+    hdus = pf.read_fits(path)
+    np.testing.assert_array_equal(hdus[0].data, img)
+
+
+def test_multi_hdu_and_int_dtypes(tmp_path):
+    prim = pf.PrimaryHDU(None)
+    a = (np.arange(20, dtype=np.int16) - 5).reshape(4, 5)
+    b = np.arange(12, dtype=np.float64).reshape(3, 4) * 1e-7
+    path = tmp_path / "multi.fits"
+    pf.write_fits(path, [prim, pf.ImageHDU(a, name="APERTURE"), pf.ImageHDU(b, name="SUMIMAGE")])
+    hdus = pf.read_fits(path)
+    assert len(hdus) == 3
+    assert hdus[0].data is None
+    assert hdus[1].name == "APERTURE"
+    np.testing.assert_array_equal(hdus[1].data, a)
+    np.testing.assert_allclose(hdus[2].data, b, rtol=1e-12)
+
+
+def test_bintable_roundtrip(tmp_path):
+    n = 7
+    cols = {
+        "TIME": np.linspace(1325.0, 1353.0, n).astype(np.float64),
+        "CADENCENO": np.arange(n, dtype=np.int32),
+        "FLUX_RAW": np.linspace(100, 200, n).astype(np.float32),
+        "QUALITY": np.array([0, 1, 0, 4096, 0, 2, 0], dtype=np.int32),
+        "POS_CORR": np.arange(2 * n, dtype=np.float32).reshape(n, 2),
+        "LABEL": np.array([f"star{i}" for i in range(n)]),
+    }
+    hdr = pf.Header()
+    hdr.set("TICID", 260795451)
+    path = tmp_path / "lc.fits.gz"
+    pf.write_fits(path, [pf.PrimaryHDU(None), pf.BinTableHDU(cols, header=hdr, name="LIGHTCURVE")])
+    hdus = pf.read_fits(path)
+    t = hdus[1]
+    assert t.kind == "bintable"
+    assert t.name == "LIGHTCURVE"
+    assert t.header["TICID"] == 260795451
+    assert t.columns() == list(cols.keys())
+    np.testing.assert_allclose(t.data["TIME"], cols["TIME"], rtol=1e-14)
+    np.testing.assert_array_equal(t.data["CADENCENO"], cols["CADENCENO"])
+    np.testing.assert_allclose(t.data["FLUX_RAW"], cols["FLUX_RAW"], rtol=1e-7)
+    np.testing.assert_array_equal(t.data["QUALITY"], cols["QUALITY"])
+    assert t.data["POS_CORR"].shape == (n, 2)
+    np.testing.assert_allclose(t.data["POS_CORR"], cols["POS_CORR"])
+    assert list(t.data["LABEL"]) == [f"star{i}" for i in range(n)]
+
+
+def test_tdim_3d_column(tmp_path):
+    n = 4
+    cols = {"WEIGHTMAP": np.arange(n * 3 * 5, dtype=np.float32).reshape(n, 3, 5)}
+    path = tmp_path / "wm.fits"
+    pf.write_fits(path, [pf.PrimaryHDU(None), pf.BinTableHDU(cols, name="WM")])
+    t = pf.read_fits(path)[1]
+    assert t.data["WEIGHTMAP"].shape == (n, 3, 5)
+    np.testing.assert_allclose(t.data["WEIGHTMAP"], cols["WEIGHTMAP"])
+
+
+def test_string_value_with_quote(tmp_path):
+    hdr = pf.Header()
+    hdr.set("NOTE", "it's fine / really")
+    path = tmp_path / "q.fits"
+    pf.write_fits(path, [pf.PrimaryHDU(np.zeros((2, 2), np.float32), header=hdr)])
+    h = pf.read_fits(path)[0].header
+    assert h["NOTE"] == "it's fine / really"
+
+
+def test_unsigned_int_convention(tmp_path):
+    # 16-bit unsigned via BZERO=32768 is the TESS raw-pixel convention.
+    raw = np.array([[0, 1000], [40000, 65535]], dtype=np.uint16)
+    signed = (raw.astype(np.int32) - 32768).astype(np.int16)
+    hdr = pf.Header()
+    hdr.set("BZERO", 32768)
+    hdr.set("BSCALE", 1)
+    path = tmp_path / "u16.fits"
+    pf.write_fits(path, [pf.PrimaryHDU(signed, header=hdr)])
+    out = pf.read_fits(path)[0].data
+    np.testing.assert_array_equal(out, raw.astype(np.int64))
