@@ -1,0 +1,171 @@
+"""
+Image filtering kernels: median filters, Gaussian blur, Scharr gradients,
+binary morphology.
+
+TPU re-designs of the scipy/skimage calls in the reference:
+- ``scipy.ndimage.median_filter(..., size=15)`` (pixel_flags.py:61-79) →
+  :func:`median_filter2d`: the k*k neighborhood is materialised as a
+  shifted-stack along a new axis and reduced with a median — one fused
+  XLA reduction instead of a per-pixel C loop; for large images callers
+  chunk over rows to bound memory.
+- ``skimage.filters.scharr`` (image_motion.py:74-110) → :func:`scharr`.
+- Gaussian blur used in the watershed preprocessing (k2p2v2.py:89-288) →
+  :func:`gaussian_blur2d` (separable convolution).
+- ``scipy.ndimage.binary_*`` hole-filling helpers (k2p2v2.py:546-574) →
+  :func:`binary_dilation` / :func:`binary_erosion` / :func:`fill_holes`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["median_filter2d", "gaussian_blur2d", "scharr",
+           "binary_dilation", "binary_erosion", "fill_holes"]
+
+
+def median_filter2d(img, size: int = 15, mode: str = "reflect"):
+    """k x k median filter of a 2-D image (NaN-ignoring).
+
+    ``mode='reflect'`` matches scipy.ndimage defaults at the borders;
+    ``mode='nan'`` pads with NaN so border medians use fewer samples.
+    """
+    img = jnp.asarray(img)
+    half = size // 2
+    if mode == "reflect":
+        # scipy.ndimage 'reflect' duplicates the edge sample = numpy 'symmetric'
+        padded = jnp.pad(img, half, mode="symmetric")
+    elif mode == "nan":
+        padded = jnp.pad(img, half, mode="constant", constant_values=jnp.nan)
+    else:
+        raise ValueError(f"Unknown mode {mode}")
+    H, W = img.shape
+    shifts = []
+    for dy in range(size):
+        for dx in range(size):
+            shifts.append(jax.lax.dynamic_slice(padded, (dy, dx), (H, W)))
+    stack = jnp.stack(shifts, axis=0)
+    return jnp.nanmedian(stack, axis=0)
+
+
+def median_filter2d_chunked(img, size: int = 15, chunk_rows: int = 256):
+    """Row-chunked median filter for full-CCD images (bounds the k^2 blowup).
+
+    Memory per chunk: size^2 * chunk_rows * W * 4 bytes (e.g. 15^2*256*2048*4
+    = 472 MB on a full TESS CCD) instead of size^2 * H * W.
+    """
+    img = jnp.asarray(img)
+    H, W = img.shape
+    half = size // 2
+    n_chunks = -(-H // chunk_rows)
+    pad_h = n_chunks * chunk_rows - H
+    padded = jnp.pad(img, ((half, half + pad_h), (half, half)), mode="symmetric")
+
+    def do_chunk(i):
+        block = jax.lax.dynamic_slice(padded, (i * chunk_rows, 0),
+                                      (chunk_rows + 2 * half, W + 2 * half))
+        shifts = []
+        for dy in range(size):
+            for dx in range(size):
+                shifts.append(jax.lax.dynamic_slice(block, (dy, dx), (chunk_rows, W)))
+        return jnp.nanmedian(jnp.stack(shifts, axis=0), axis=0)
+
+    out = jax.lax.map(do_chunk, jnp.arange(n_chunks))
+    return out.reshape(n_chunks * chunk_rows, W)[:H]
+
+
+def _gauss1d(sigma: float, truncate: float = 4.0):
+    radius = max(int(truncate * sigma + 0.5), 1)
+    t = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (t / sigma) ** 2)
+    return jnp.asarray(k / k.sum())
+
+
+@functools.partial(jax.jit, static_argnames=("sigma",))
+def gaussian_blur2d(img, sigma: float = 1.0):
+    """Separable Gaussian blur with reflect padding."""
+    img = jnp.asarray(img, jnp.float32)
+    k = _gauss1d(sigma)
+    r = (len(k) - 1) // 2
+    p = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    img = jax.lax.conv_general_dilated(
+        p[None, None], k[None, None, :, None].astype(img.dtype),
+        window_strides=(1, 1), padding="VALID")[0, 0]
+    p = jnp.pad(img, ((0, 0), (r, r)), mode="reflect")
+    img = jax.lax.conv_general_dilated(
+        p[None, None], k[None, None, None, :].astype(img.dtype),
+        window_strides=(1, 1), padding="VALID")[0, 0]
+    return img
+
+
+_SCHARR_X = np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], np.float32) / 32.0
+_SCHARR_Y = _SCHARR_X.T
+
+
+def scharr(img):
+    """Scharr gradient magnitude (matches skimage.filters.scharr up to norm)."""
+    img = jnp.asarray(img, jnp.float32)
+    p = jnp.pad(img, 1, mode="reflect")[None, None]
+    gx = jax.lax.conv_general_dilated(p, jnp.asarray(_SCHARR_X)[None, None],
+                                      (1, 1), "VALID")[0, 0]
+    gy = jax.lax.conv_general_dilated(p, jnp.asarray(_SCHARR_Y)[None, None],
+                                      (1, 1), "VALID")[0, 0]
+    return jnp.sqrt(gx**2 + gy**2)
+
+
+_CROSS = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], np.float32)
+_BOX = np.ones((3, 3), np.float32)
+
+
+def _binary_conv(mask, kernel):
+    m = jnp.asarray(mask, jnp.float32)[None, None]
+    k = jnp.asarray(kernel)[None, None]
+    out = jax.lax.conv_general_dilated(m, k, (1, 1), "SAME")[0, 0]
+    return out
+
+
+def binary_dilation(mask, connectivity: int = 1, iterations: int = 1):
+    """Binary dilation with cross (connectivity=1) or box (=2) structure."""
+    kernel = _CROSS if connectivity == 1 else _BOX
+    out = jnp.asarray(mask, bool)
+    for _ in range(iterations):
+        out = _binary_conv(out, kernel) > 0
+    return out
+
+
+def binary_erosion(mask, connectivity: int = 1, iterations: int = 1):
+    kernel = _CROSS if connectivity == 1 else _BOX
+    need = kernel.sum()
+    out = jnp.asarray(mask, bool)
+    for _ in range(iterations):
+        out = _binary_conv(out, kernel) >= need
+    return out
+
+
+def fill_holes(mask, max_iters: int = 256):
+    """Fill holes not connected to the border (flood fill from the edge).
+
+    Counterpart of the convolution-based hole filling in reference
+    k2p2v2.py:546-574 but exact: iterative propagation of an 'outside'
+    region from the borders through non-mask pixels, using a while_loop.
+    """
+    mask = jnp.asarray(mask, bool)
+    H, W = mask.shape
+    border = jnp.zeros_like(mask).at[0, :].set(True).at[-1, :].set(True) \
+        .at[:, 0].set(True).at[:, -1].set(True)
+    outside0 = border & ~mask
+
+    def cond(state):
+        outside, changed = state
+        return changed
+
+    def body(state):
+        outside, _ = state
+        grown = binary_dilation(outside, connectivity=1) & ~mask
+        return grown, jnp.any(grown != outside)
+
+    outside, _ = jax.lax.while_loop(cond, body, (outside0, jnp.array(True)))
+    return mask | ~outside

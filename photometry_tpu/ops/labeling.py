@@ -1,0 +1,153 @@
+"""
+Connected components and seeded segmentation on TPU.
+
+The reference builds pixel masks with sklearn DBSCAN (eps=sqrt(2), i.e.
+8-connectivity on the pixel grid — reference k2p2v2.py:63-86) followed by
+skimage watershed segmentation with catalog-guided markers
+(k2p2v2.py:89-288).  Neither maps to TPU as-is; here they become
+fixed-point label-propagation kernels:
+
+- :func:`label_components`: 8-connected components by iterative min-label
+  propagation inside a ``lax.while_loop``.  On a (H, W) grid this converges
+  in at most H+W iterations; each iteration is a 3x3 min-pool — pure VPU work,
+  vmappable over a batch of stamps.
+- :func:`watershed_segment`: marker-seeded segmentation by monotone steepest-
+  ascent label adoption: every unlabeled above-threshold pixel repeatedly
+  adopts the label of its highest-priority (most elevated) labeled neighbor.
+  This reproduces watershed basins for the smooth (Gaussian-blurred) images
+  K2P2 feeds it, while being a data-independent-shape fixed-point loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["label_components", "watershed_segment"]
+
+_INF = jnp.inf
+
+
+def _neighbor_min(lab, mask, connectivity: int = 2):
+    """Min of labels over the 3x3 (or cross) neighborhood, inf outside mask."""
+    H, W = lab.shape
+    big = jnp.where(mask, lab, _INF)
+    p = jnp.pad(big, 1, mode="constant", constant_values=_INF)
+    offs = [(0, 1), (2, 1), (1, 0), (1, 2), (1, 1)]
+    if connectivity == 2:
+        offs += [(0, 0), (0, 2), (2, 0), (2, 2)]
+    out = jnp.full_like(big, _INF)
+    for dy, dx in offs:
+        out = jnp.minimum(out, jax.lax.dynamic_slice(p, (dy, dx), (H, W)))
+    return out
+
+
+def label_components(mask, connectivity: int = 2, max_iters: int = 4096):
+    """Label connected components of a boolean mask.
+
+    Returns int32 labels: 0 for background, 1..n for components (labels are
+    contiguous and ordered by the component's smallest flat pixel index,
+    which makes results deterministic).
+
+    Equivalent to DBSCAN with eps=sqrt(2), min_samples=1 on pixel coordinates
+    (the reference's usage at k2p2v2.py:63-86; its min_samples=4 core-point
+    rule is applied by callers as a post-filter on component size).
+    """
+    mask = jnp.asarray(mask, bool)
+    H, W = mask.shape
+    init = jnp.arange(H * W, dtype=jnp.float32).reshape(H, W)
+    init = jnp.where(mask, init, _INF)
+
+    def cond(state):
+        lab, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        lab, _, it = state
+        new = _neighbor_min(lab, mask, connectivity)
+        new = jnp.where(mask, jnp.minimum(lab, new), _INF)
+        return new, jnp.any(new != lab), it + 1
+
+    lab, _, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True), 0))
+
+    # Relabel to contiguous 1..n (0 = background).  The root of each
+    # component is the pixel whose flat index equals its label value.
+    flat = lab.ravel()
+    idx = jnp.arange(H * W, dtype=jnp.float32)
+    is_root = mask.ravel() & (flat == idx)
+    comp_rank = jnp.cumsum(is_root.astype(jnp.int32))  # rank at each root
+    root_idx = jnp.where(jnp.isinf(flat), 0, flat).astype(jnp.int32)
+    labels = jnp.where(mask.ravel(), comp_rank[root_idx], 0)
+    return labels.reshape(H, W).astype(jnp.int32)
+
+
+def _neighbor_best(priority, labels, connectivity: int = 2):
+    """For each pixel: (best neighbor priority, its label) among labeled nbrs."""
+    H, W = priority.shape
+    neg = jnp.float32(-3.4e38)
+    pr = jnp.where(labels > 0, priority, neg)
+    p_pr = jnp.pad(pr, 1, mode="constant", constant_values=neg)
+    p_lb = jnp.pad(labels, 1, mode="constant", constant_values=0)
+    offs = [(0, 1), (2, 1), (1, 0), (1, 2)]
+    if connectivity == 2:
+        offs += [(0, 0), (0, 2), (2, 0), (2, 2)]
+    best_pr = jnp.full((H, W), neg, jnp.float32)
+    best_lb = jnp.zeros((H, W), labels.dtype)
+    for dy, dx in offs:
+        npr = jax.lax.dynamic_slice(p_pr, (dy, dx), (H, W))
+        nlb = jax.lax.dynamic_slice(p_lb, (dy, dx), (H, W))
+        take = npr > best_pr
+        best_pr = jnp.where(take, npr, best_pr)
+        best_lb = jnp.where(take, nlb, best_lb)
+    return best_pr, best_lb
+
+
+def watershed_segment(elevation, markers, mask, connectivity: int = 2,
+                      max_iters: int = 4096):
+    """Marker-seeded segmentation of ``mask`` guided by an elevation image.
+
+    TPU counterpart of skimage ``watershed(-blurred_flux, markers, mask=...)``
+    as used by K2P2 (reference k2p2v2.py:89-288): basins grow outward from
+    the markers; when fronts meet, a pixel joins the basin whose adjacent
+    labeled neighbor sits at the highest elevation (steepest-ascent
+    association) — for the smooth blurred-flux surfaces K2P2 segments, this
+    assigns each pixel to the peak whose gradient path reaches it, matching
+    flooding watershed up to ridge-pixel ties.
+
+    Parameters:
+        elevation: (H, W) float image — higher = closer to a peak
+            (note: *inverted* sign convention vs skimage's flooding).
+        markers: (H, W) int32, >0 at seed pixels, 0 elsewhere.
+        mask: (H, W) bool, segmentation domain.
+
+    Returns:
+        (H, W) int32 labels (0 outside mask / unreached).
+    """
+    elevation = jnp.asarray(elevation, jnp.float32)
+    mask = jnp.asarray(mask, bool)
+    labels0 = jnp.where(mask, jnp.asarray(markers, jnp.int32), 0)
+
+    def run_phase(labels0, monotone: bool):
+        def cond(state):
+            labels, changed, it = state
+            return changed & (it < max_iters)
+
+        def body(state):
+            labels, _, it = state
+            nb_pr, nb_lb = _neighbor_best(elevation, labels, connectivity)
+            can = mask & (labels == 0) & (nb_lb > 0)
+            if monotone:
+                # Basins only grow downhill from their peaks; fronts halt at
+                # valleys, so ridge lines land where flooding watershed puts them.
+                can = can & (elevation <= nb_pr + 1e-12)
+            new = jnp.where(can, nb_lb, labels)
+            return new, jnp.any(new != labels), it + 1
+
+        labels, _, _ = jax.lax.while_loop(cond, body, (labels0, jnp.array(True), 0))
+        return labels
+
+    labels = run_phase(labels0, monotone=True)
+    # Mop-up phase: plateaus / local minima inside the mask that monotone
+    # descent cannot reach adopt the nearest basin greedily.
+    labels = run_phase(labels, monotone=False)
+    return labels

@@ -1,0 +1,179 @@
+"""
+Statistical kernels: sigma clipping, SExtractor mode, KDE-mode estimators.
+
+TPU re-design of the reference's estimator stack:
+
+- ``SigmaClip(sigma=3, maxiters=5)`` + ``SExtractorBackground``
+  (photutils, used at reference backgrounds.py:103-105) become masked,
+  fixed-iteration-count array ops (:func:`sigma_clip_mask`,
+  :func:`sextractor_mode`) that vectorise over any leading axes.
+- The per-radial-bin ``KDEUnivariate`` mode (reference backgrounds.py:21-48,
+  statsmodels, an O(N * grid) scalar loop per bin) becomes a *histogram-KDE
+  mode*: one scatter-add histogram per segment, Gaussian smoothing of the
+  histogram, arg-max plus parabolic refinement (:func:`segment_kde_mode`).
+  This turns thousands of independent KDE fits into a handful of dense
+  array ops — the shape TPUs want.
+
+All functions are pure and jit/vmap-safe with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.mathutils import MAD_TO_SIGMA
+
+__all__ = ["sigma_clip_mask", "sextractor_mode", "kde_mode", "segment_kde_mode"]
+
+
+def sigma_clip_mask(x, mask=None, sigma: float = 3.0, maxiters: int = 5):
+    """Iterative sigma clipping about the median.
+
+    Parameters:
+        x: values (any shape; clipping is over the *last* axis).
+        mask: boolean, True = already invalid/excluded.
+        sigma: clip threshold in standard deviations.
+        maxiters: fixed iteration count (static for jit).
+
+    Returns:
+        Boolean array, True where the value survives clipping.
+    """
+    x = jnp.asarray(x)
+    good = jnp.isfinite(x)
+    if mask is not None:
+        good = good & ~mask
+
+    def body(_, good):
+        xm = jnp.where(good, x, jnp.nan)
+        med = jnp.nanmedian(xm, axis=-1, keepdims=True)
+        n = jnp.sum(good, axis=-1, keepdims=True)
+        mean = jnp.nansum(jnp.where(good, x, 0.0), axis=-1, keepdims=True) / jnp.maximum(n, 1)
+        var = jnp.nansum(jnp.where(good, (x - mean) ** 2, 0.0), axis=-1, keepdims=True) / jnp.maximum(n - 1, 1)
+        std = jnp.sqrt(var)
+        keep = jnp.abs(x - med) <= sigma * std
+        return good & keep
+
+    return jax.lax.fori_loop(0, maxiters, body, good)
+
+
+def _masked_moments(x, good):
+    n = jnp.sum(good, axis=-1)
+    mean = jnp.nansum(jnp.where(good, x, 0.0), axis=-1) / jnp.maximum(n, 1)
+    var = jnp.nansum(jnp.where(good, (x - mean[..., None]) ** 2, 0.0), axis=-1) / jnp.maximum(n - 1, 1)
+    med = jnp.nanmedian(jnp.where(good, x, jnp.nan), axis=-1)
+    return n, mean, jnp.sqrt(var), med
+
+
+def sextractor_mode(x, mask=None, sigma: float = 3.0, maxiters: int = 5,
+                    min_fraction: float = 0.0):
+    """SExtractor background mode of the last axis, after sigma clipping.
+
+    mode = 2.5*median - 1.5*mean; falls back to the median when
+    (mean - median)/std > 0.3 (same rule as photutils' SExtractorBackground,
+    used by the reference at backgrounds.py:103-105).  Entries whose valid
+    fraction is below ``min_fraction`` give NaN (photutils
+    ``exclude_percentile`` analogue).
+    """
+    x = jnp.asarray(x)
+    total = x.shape[-1]
+    initial_good = jnp.isfinite(x) if mask is None else (jnp.isfinite(x) & ~mask)
+    good = sigma_clip_mask(x, mask=mask, sigma=sigma, maxiters=maxiters)
+    n, mean, std, med = _masked_moments(x, good)
+    mode = 2.5 * med - 1.5 * mean
+    skewed = jnp.abs(mean - med) / jnp.maximum(std, 1e-30) > 0.3
+    mode = jnp.where(skewed | (std == 0), med, mode)
+    frac0 = jnp.sum(initial_good, axis=-1) / total
+    return jnp.where((n > 0) & (frac0 >= min_fraction), mode, jnp.nan)
+
+
+def _refine_parabolic(hist, idx):
+    """Sub-bucket refinement of an argmax via a parabola through 3 points."""
+    nb = hist.shape[-1]
+    i0 = jnp.clip(idx, 1, nb - 2)
+    ym = jnp.take_along_axis(hist, (i0 - 1)[..., None], axis=-1)[..., 0]
+    y0 = jnp.take_along_axis(hist, i0[..., None], axis=-1)[..., 0]
+    yp = jnp.take_along_axis(hist, (i0 + 1)[..., None], axis=-1)[..., 0]
+    denom = ym - 2 * y0 + yp
+    delta = jnp.where(jnp.abs(denom) > 1e-30, 0.5 * (ym - yp) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    return i0.astype(hist.dtype) + delta
+
+
+def _gauss_kernel(sigma_buckets: float, radius: int):
+    t = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (t / jnp.maximum(sigma_buckets, 1e-3)) ** 2)
+    return k / jnp.sum(k)
+
+
+def kde_mode(x, mask=None, n_buckets: int = 512, smooth_sigma_frac: float = 0.01,
+             lo=None, hi=None):
+    """Mode of a 1-D sample via a smoothed histogram with parabolic refinement.
+
+    Replaces statsmodels' FFT KDE mode (reference backgrounds.py:21-33).
+    ``smooth_sigma_frac`` is the Gaussian smoothing bandwidth as a fraction of
+    the data range (Scott's-rule-like; the mode location is insensitive to
+    the exact choice at the accuracy the pipeline needs).
+    """
+    x = jnp.asarray(x).ravel()
+    good = jnp.isfinite(x) if mask is None else (jnp.isfinite(x) & ~jnp.asarray(mask).ravel())
+    xg = jnp.where(good, x, jnp.nan)
+    lo = jnp.nanmin(xg) if lo is None else lo
+    hi = jnp.nanmax(xg) if hi is None else hi
+    span = jnp.maximum(hi - lo, 1e-30)
+    idx = jnp.clip(((x - lo) / span * n_buckets).astype(jnp.int32), 0, n_buckets - 1)
+    w = good.astype(jnp.float32)
+    hist = jax.ops.segment_sum(w, idx, num_segments=n_buckets)
+    radius = max(int(3 * smooth_sigma_frac * n_buckets), 2)
+    kern = _gauss_kernel(smooth_sigma_frac * n_buckets, radius)
+    sm = jnp.convolve(hist, kern, mode="same")
+    pos = _refine_parabolic(sm, jnp.argmax(sm))
+    mode = lo + (pos + 0.5) / n_buckets * span
+    return jnp.where(jnp.any(good), mode, jnp.nan)
+
+
+def segment_kde_mode(values, seg_ids, n_segments: int, mask=None,
+                     n_buckets: int = 512, smooth_sigma_frac: float = 0.01,
+                     min_count: int = 1):
+    """Histogram-KDE mode of ``values`` within each segment, in one pass.
+
+    This is the batched replacement for the reference's per-radial-bin KDE
+    loop (backgrounds.py:175-181 via scipy.binned_statistic): a single 2-D
+    scatter-add builds all per-segment histograms simultaneously; smoothing
+    and refinement are dense ops over the (n_segments, n_buckets) table.
+
+    Parameters:
+        values: (N,) samples.
+        seg_ids: (N,) int32 segment of each sample (invalid -> any id, masked).
+        n_segments: static number of segments.
+        mask: (N,) True = exclude sample.
+        n_buckets: histogram resolution (shared value range across segments).
+        min_count: segments with fewer samples yield NaN.
+
+    Returns:
+        (n_segments,) array of per-segment modes (NaN where empty).
+    """
+    values = jnp.asarray(values).ravel()
+    seg_ids = jnp.asarray(seg_ids).ravel()
+    good = jnp.isfinite(values) & (seg_ids >= 0) & (seg_ids < n_segments)
+    if mask is not None:
+        good = good & ~jnp.asarray(mask).ravel()
+    vg = jnp.where(good, values, jnp.nan)
+    lo = jnp.nanmin(vg)
+    hi = jnp.nanmax(vg)
+    span = jnp.maximum(hi - lo, 1e-30)
+    b = jnp.clip(((values - lo) / span * n_buckets).astype(jnp.int32), 0, n_buckets - 1)
+    flat = jnp.where(good, seg_ids * n_buckets + b, n_segments * n_buckets)
+    w = good.astype(jnp.float32)
+    hist = jax.ops.segment_sum(w, flat, num_segments=n_segments * n_buckets + 1)
+    hist = hist[:-1].reshape(n_segments, n_buckets)
+    counts = jnp.sum(hist, axis=-1)
+
+    radius = max(int(3 * smooth_sigma_frac * n_buckets), 2)
+    kern = _gauss_kernel(smooth_sigma_frac * n_buckets, radius)
+    #
+
+    sm = jax.vmap(lambda h: jnp.convolve(h, kern, mode="same"))(hist)
+    pos = _refine_parabolic(sm, jnp.argmax(sm, axis=-1))
+    modes = lo + (pos + 0.5) / n_buckets * span
+    return jnp.where(counts >= min_count, modes, jnp.nan)
