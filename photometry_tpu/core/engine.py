@@ -1,0 +1,750 @@
+"""
+The batched photometry engine.
+
+This replaces the reference's per-target BasePhotometry object
+(photometry/BasePhotometry.py) with an array-resident design:
+
+- :class:`SectorContext` owns one sector-CCD's image cube as device arrays
+  (replacing the N-reads-per-stamp HDF5 access of BasePhotometry.py:720-751),
+  plus the catalog, WCS and motion model.
+- :class:`TpfContext` provides the same interface for a Target Pixel File.
+- :func:`extract_aperture_batch` runs K2P2 aperture photometry for a *batch*
+  of targets: stamps are gathered from the cube with vmapped dynamic slices,
+  masks are built by the batched K2P2 kernel, fluxes/centroids for all
+  targets x cadences come out of one jitted program.  The reference's
+  stamp-resize retry loop (AperturePhotometry/photometry.py:71-165) becomes
+  a host-side loop over the shrinking subset of unconverged targets.
+- Single-target semantics (status codes, halo-switch quick break, minimum
+  aperture warning, contamination, skip_targets) follow
+  AperturePhotometry/photometry.py and tessphot.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..catalog import StarCatalog
+from ..io import discovery
+from ..io.cube import ImageCube
+from ..io.settings import load_settings
+from ..models.k2p2 import K2P2Params, build_masks_batch
+from ..quality import PixelQualityFlags, TESSQualityFlags
+from ..utils.mathutils import mag2flux
+from .metrics import compute_metrics_batch
+from .motion import MotionModel
+from .status import STATUS
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["SectorContext", "TpfContext", "TargetResult", "extract_aperture_batch",
+           "default_stamp_size"]
+
+#: Tmag -> default stamp size lookup (public TASOC calibration tables,
+#: reference BasePhotometry.py:541-556).
+_STAMP_TMAG = np.array([0.0, 0.52631579, 1.05263158, 1.57894737, 2.10526316,
+                        2.63157895, 3.15789474, 3.68421053, 4.21052632, 4.73684211,
+                        5.26315789, 5.78947368, 6.31578947, 6.84210526, 7.36842105,
+                        7.89473684, 8.42105263, 8.94736842, 9.47368421, 10.0, 13.0])
+_STAMP_HEIGHT = np.array([831.98319063, 533.58494422, 344.0840884, 223.73963332,
+                          147.31365728, 98.77856016, 67.95585074, 48.38157414,
+                          35.95072974, 28.05639497, 23.043017, 19.85922009,
+                          17.83731732, 16.5532873, 15.73785092, 15.21999971,
+                          14.89113301, 14.68228285, 14.54965042, 14.46542084, 14.0])
+_STAMP_WIDTH = np.array([157.71602062, 125.1238281, 99.99440209, 80.61896267,
+                         65.6799962, 54.16166547, 45.28073365, 38.4333048,
+                         33.15375951, 28.05639497, 23.043017, 19.85922009,
+                         17.83731732, 16.5532873, 15.73785092, 15.21999971,
+                         14.89113301, 14.68228285, 14.54965042, 14.46542084, 14.0])
+
+
+def default_stamp_size(tmag) -> tuple:
+    """Default (n_rows, n_cols) of the stamp for a target of magnitude tmag."""
+    nr = np.maximum(np.ceil(np.interp(tmag, _STAMP_TMAG, _STAMP_HEIGHT)), 15).astype(int)
+    nc = np.maximum(np.ceil(np.interp(tmag, _STAMP_TMAG, _STAMP_WIDTH)), 15).astype(int)
+    return nr, nc
+
+
+# ---------------------------------------------------------------------------
+# Contexts
+# ---------------------------------------------------------------------------
+
+class SectorContext:
+    """One sector-CCD: cube on device + catalog + WCS + motion model.
+
+    ``cache='device'`` uploads the image cubes to the default device (HBM);
+    ``cache='host'`` keeps them as host numpy (jit programs then stream them).
+    """
+
+    datasource = "ffi"
+
+    def __init__(self, input_folder: str, sector: int, camera: int, ccd: int,
+                 cache: str = "device", motion_mode: str = "wcs"):
+        self.input_folder = input_folder
+        self.sector = sector
+        self.camera = camera
+        self.ccd = ccd
+        cubes = discovery.find_cube_files(input_folder, sector=sector, camera=camera, ccd=ccd)
+        if len(cubes) != 1:
+            raise FileNotFoundError(
+                f"HDF5 File not found. SECTOR={sector:d}, CAMERA={camera:d}, CCD={ccd:d}")
+        cats = discovery.find_catalog_files(input_folder, sector=sector, camera=camera, ccd=ccd)
+        if len(cats) != 1:
+            raise FileNotFoundError(
+                f"Catalog file not found: SECTOR={sector:d}, CAMERA={camera:d}, CCD={ccd:d}")
+        self.catalog = StarCatalog(cats[0])
+
+        cube = ImageCube(cubes[0])
+        self.header = cube.header
+        self.data_rel = int(self.header.get("DATA_REL", 99))
+        self.cadence = int(self.header.get("CADENCE", 1800))
+        self.num_frm = int(self.header.get("NUM_FRM", 900))
+        crblksz = self.header.get("CRBLKSZ") or np.inf
+        self.n_readout = int(self.header.get("NREADOUT") or
+                             int(self.num_frm * (1 - 2 / crblksz)))
+        self.readnoise = float(self.header.get("READNOIS", 10.0))
+        self.gain = float(self.header.get("GAIN", 100.0))
+        self.pixel_offset_row = int(self.header.get("PIXEL_OFFSET_ROW", 0))
+        self.pixel_offset_col = int(self.header.get("PIXEL_OFFSET_COLUMN", 0))
+
+        self.time = cube.time            # barycentre-corrected BTJD (fixes applied in prepare)
+        self.timecorr = cube.timecorr
+        self.cadenceno = cube.cadenceno
+        self.quality = cube.quality
+        self.wcs = cube.reference_wcs()
+        self.shape = cube.shape
+        self.n_times = cube.n_times
+
+        self.sumimage = cube.sumimage.astype(np.float32)
+        self.bkg_pixels_used = np.asarray(cube.h5["bkg_pixels_used"]).astype(bool)
+
+        imgs = cube.images()
+        errs = cube.images_err()
+        bkgs = cube.backgrounds()
+        pixf = cube.pixelflags()
+        if cache == "device":
+            self.images = jnp.asarray(imgs)
+            self.images_err = jnp.asarray(errs)
+            self.backgrounds = jnp.asarray(bkgs)
+            self.pixelflags = jnp.asarray(pixf)
+        else:
+            self.images, self.images_err = imgs, errs
+            self.backgrounds, self.pixelflags = bkgs, pixf
+
+        # Motion model: per-frame WCS series (default), else stored kernels,
+        # else unchanged (BasePhotometry.py:1186-1221):
+        wcs_strings = cube.wcs_strings()
+        self.motion = None
+        t_nocorr = self.time - self.timecorr
+        if motion_mode == "wcs" and any(s.strip() for s in wcs_strings):
+            self.motion = MotionModel(warpmode="wcs", wcs_ref=self.wcs)
+            self.motion.load_series(t_nocorr, wcs_strings)
+        elif "movement_kernel" in cube.h5:
+            mode = cube.h5["movement_kernel"].attrs.get("warpmode", "translation")
+            self.motion = MotionModel(warpmode=str(mode))
+            self.motion.load_series(t_nocorr, np.asarray(cube.h5["movement_kernel"]))
+        else:
+            self.motion = MotionModel(warpmode="unchanged")
+        cube.close()
+
+        # Collected pixels (aperture bit 1): pixel was read out at all.
+        self.collected = np.isfinite(self.sumimage)
+
+    def close(self):
+        self.catalog.close()
+
+    def target_position(self, ra, dec) -> tuple:
+        """(row, col) 0-based CCD position for catalog coordinates."""
+        row, col = self.wcs.rowcol_of_radec(np.atleast_1d(ra), np.atleast_1d(dec))
+        return float(row[0]), float(col[0])
+
+
+class TpfContext:
+    """Target Pixel File presented with the SectorContext interface.
+
+    Counterpart of the TPF branch of BasePhotometry.__init__
+    (BasePhotometry.py:307-384).  The 'CCD image' is the TPF stamp itself;
+    CCD coordinates are offset by the stamp corner.
+    """
+
+    datasource = "tpf"
+
+    def __init__(self, input_folder: str, starid: int, sector: Optional[int] = None,
+                 cadence: Optional[int] = None):
+        from ..io.tess import read_tpf
+        from ..fixes import time_offset
+        files = discovery.find_tpf_files(input_folder, starid=starid, sector=sector,
+                                         cadence=cadence)
+        if len(files) == 0:
+            raise FileNotFoundError("Target Pixel File not found")
+        if len(files) > 1:
+            raise FileNotFoundError("Multiple Target Pixel Files found matching pattern")
+        tpf = read_tpf(files[0])
+        self.tpf = tpf
+        self.input_folder = input_folder
+        self.sector = tpf.sector
+        self.camera = tpf.camera
+        self.ccd = tpf.ccd
+        self.data_rel = tpf.data_rel
+        self.cadence = tpf.cadence
+        self.num_frm = tpf.num_frm
+        self.n_readout = tpf.n_readout
+        self.readnoise = tpf.readnoise
+        self.gain = tpf.gain
+        self.pixel_offset_row = tpf.corner_row
+        self.pixel_offset_col = tpf.corner_col
+
+        cats = discovery.find_catalog_files(input_folder, sector=self.sector,
+                                            camera=self.camera, ccd=self.ccd)
+        if len(cats) != 1:
+            raise FileNotFoundError(
+                f"Catalog file not found: SECTOR={self.sector:d}, "
+                f"CAMERA={self.camera:d}, CCD={self.ccd:d}")
+        self.catalog = StarCatalog(cats[0])
+
+        self.time = time_offset(tpf.time, tpf.header, datatype="tpf")
+        self.timecorr = tpf.timecorr
+        self.cadenceno = tpf.cadenceno
+        self.quality = tpf.quality
+        self.n_times = len(self.time)
+        self.shape = tpf.shape
+        self.wcs = tpf.wcs  # stamp-relative WCS
+
+        self.images = jnp.asarray(np.nan_to_num(tpf.flux, nan=np.nan))
+        self.images_err = jnp.asarray(tpf.flux_err)
+        bkg = tpf.flux_bkg if tpf.flux_bkg is not None else np.zeros_like(tpf.flux)
+        self.backgrounds = jnp.asarray(bkg)
+        self.pixelflags = jnp.zeros(tpf.flux.shape, jnp.uint8)
+        self.sumimage = np.nanmean(
+            np.where(TESSQualityFlags.filter(tpf.quality)[:, None, None], tpf.flux, np.nan),
+            axis=0).astype(np.float32)
+        self.collected = (tpf.aperture & 1 != 0) if tpf.aperture is not None \
+            else np.isfinite(self.sumimage)
+        self.bkg_pixels_used = np.zeros(self.shape, bool)
+
+        # Motion: translation kernels from POS_CORR, re-zeroed at the frame
+        # nearest the catalog reference time (BasePhotometry.py:1199-1216):
+        if tpf.pos_corr is not None and np.any(np.isfinite(tpf.pos_corr)):
+            t_nocorr = self.time - self.timecorr
+            k = tpf.pos_corr.astype(np.float64)
+            good = np.isfinite(t_nocorr) & np.all(np.isfinite(k), axis=1)
+            tt = t_nocorr[good]
+            kk = k[good]
+            ref_time = self.catalog.settings.reference_time - 2457000.0
+            refindx = int(np.argmin(np.abs(tt - ref_time)))
+            kk = kk - kk[refindx]
+            self.motion = MotionModel(warpmode="translation")
+            self.motion.load_series(tt, kk)
+        else:
+            self.motion = MotionModel(warpmode="unchanged")
+
+    def close(self):
+        self.catalog.close()
+
+    def target_position(self, ra, dec) -> tuple:
+        """(row, col) in *stamp* coordinates (the TPF WCS is stamp-relative)."""
+        row, col = self.wcs.rowcol_of_radec(np.atleast_1d(ra), np.atleast_1d(dec))
+        return float(row[0]), float(col[0])
+
+
+# ---------------------------------------------------------------------------
+# Results
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TargetResult:
+    """Everything produced for one target by an extraction."""
+
+    starid: int
+    method: str
+    status: STATUS
+    sector: int
+    camera: int
+    ccd: int
+    cadence: int
+    data_rel: int
+    target: dict
+    lightcurve: dict
+    mask: Optional[np.ndarray] = None
+    aperture_image: Optional[np.ndarray] = None
+    sumimage_stamp: Optional[np.ndarray] = None
+    stamp: Optional[tuple] = None
+    details: dict = field(default_factory=dict)
+    additional_headers: dict = field(default_factory=dict)
+    skip_targets: list = field(default_factory=list)
+    num_frm: int = 900
+    n_readout: int = 720
+    ticver: str = "unknown"
+    stamp_wcs: object = None
+
+    def save(self, output_folder: str, version: int) -> str:
+        from .lightcurve import save_lightcurve
+        halo_wm = self.details.get("halo_weightmap")
+        path = save_lightcurve(self, output_folder, version,
+                               sumimage=self.sumimage_stamp,
+                               stamp_wcs=self.stamp_wcs,
+                               halo_weightmap=halo_wm)
+        self.details["filepath_lightcurve"] = path
+        return path
+
+
+# ---------------------------------------------------------------------------
+# Batched stamp machinery
+# ---------------------------------------------------------------------------
+
+def _gather_stamps_image(image, r0s, c0s, h: int, w: int):
+    """vmapped (N,) dynamic slices of an (H, W) image -> (N, h, w)."""
+    def one(r0, c0):
+        return jax.lax.dynamic_slice(image, (r0, c0), (h, w))
+    return jax.vmap(one)(r0s, c0s)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _extract_flux_batch(images, images_err, backgrounds, pixelflags,
+                        masks, r0s, c0s, h: int, w: int):
+    """Aperture sums for all targets and cadences in one program.
+
+    images: (T, H, W); masks: (N, h, w); r0s/c0s: (N,) stamp corners.
+    Returns flux (N, T), flux_err (N, T), flux_bkg (N, T),
+    centroid (N, T, 2) in 1-based CCD coords, shenanigans_any (N, T).
+    """
+    def per_target(mask, r0, c0):
+        def per_frame(img, err, bkg, pfl):
+            st = jax.lax.dynamic_slice(img, (r0, c0), (h, w))
+            se = jax.lax.dynamic_slice(err, (r0, c0), (h, w))
+            sb = jax.lax.dynamic_slice(bkg, (r0, c0), (h, w))
+            sf = jax.lax.dynamic_slice(pfl, (r0, c0), (h, w))
+            m = mask
+            vals = jnp.where(m, st, jnp.nan)
+            finite = jnp.isfinite(vals)
+            n_fin = jnp.sum(finite)
+            total = jnp.nansum(jnp.where(finite, vals, 0.0))
+            all_bad = (n_fin == 0) | jnp.all(jnp.where(m, st == 0, True))
+            flux = jnp.where(all_bad, jnp.nan, total)
+            ferr = jnp.where(all_bad, jnp.nan,
+                             jnp.sqrt(jnp.nansum(jnp.where(m & jnp.isfinite(se), se**2, 0.0))))
+            # flux-weighted centroid over positive pixels (1-based CCD coords):
+            yy, xx = jnp.mgrid[0:h, 0:w]
+            wgt = jnp.where(m & finite & (vals > 0), vals, 0.0)
+            wsum = jnp.sum(wgt)
+            cx = jnp.sum(wgt * (xx + c0 + 1)) / jnp.maximum(wsum, 1e-30)
+            cy = jnp.sum(wgt * (yy + r0 + 1)) / jnp.maximum(wsum, 1e-30)
+            cent = jnp.where(wsum > 0, jnp.stack([cx, cy]), jnp.full(2, jnp.nan))
+            bsum = jnp.where(jnp.all(~(m & jnp.isfinite(sb))), jnp.nan,
+                             jnp.nansum(jnp.where(m & jnp.isfinite(sb), sb, 0.0)))
+            shen = jnp.any((sf & PixelQualityFlags.BackgroundShenanigans) != 0)
+            return flux, ferr, bsum, cent, shen
+        return jax.vmap(per_frame)(images, images_err, backgrounds, pixelflags)
+
+    flux, ferr, bsum, cent, shen = jax.vmap(per_target)(masks, r0s, c0s)
+    return flux, ferr, bsum, cent, shen
+
+
+def _stamp_catalog(cat_all: dict, wcs, r0, r1, c0, c1, offset_rc=(0, 0),
+                   max_stars: int = 48, buffer_px: float = 5.0):
+    """Catalog stars within one stamp (+buffer), in stamp coordinates.
+
+    ``cat_all`` carries precomputed 0-based CCD 'row'/'col' for every catalog
+    star; offset_rc shifts CCD coords into (TPF) stamp frames.
+    """
+    row = cat_all["row"] - offset_rc[0]
+    col = cat_all["col"] - offset_rc[1]
+    sel = ((row >= r0 - buffer_px) & (row <= r1 - 1 + buffer_px)
+           & (col >= c0 - buffer_px) & (col <= c1 - 1 + buffer_px))
+    idx = np.where(sel)[0]
+    if len(idx) > max_stars:
+        # keep the brightest (they dominate masks and contamination):
+        idx = idx[np.argsort(cat_all["tmag"][idx])[:max_stars]]
+    k = len(idx)
+    out = {
+        "starid": np.zeros(max_stars, np.int64),
+        "row": np.full(max_stars, 1e9), "col": np.full(max_stars, 1e9),
+        "tmag": np.full(max_stars, 30.0), "valid": np.zeros(max_stars, bool),
+    }
+    out["starid"][:k] = cat_all["starid"][idx]
+    out["row"][:k] = row[idx] - r0
+    out["col"][:k] = col[idx] - c0
+    out["tmag"][:k] = cat_all["tmag"][idx]
+    out["valid"][:k] = True
+    return out
+
+
+def _full_catalog_positions(ctx) -> dict:
+    """All catalog stars with 0-based CCD positions through the context WCS."""
+    cat = ctx.catalog.all_stars()
+    if len(cat["starid"]) == 0:
+        return {"starid": np.array([], np.int64), "row": np.array([]),
+                "col": np.array([]), "tmag": np.array([])}
+    # For TPFs the WCS is stamp-relative and the engine works in stamp
+    # coordinates (ctx.shape is the stamp), so no offset is applied here.
+    row, col = ctx.wcs.rowcol_of_radec(cat["ra"], cat["decl"])
+    return {"starid": cat["starid"], "row": np.asarray(row), "col": np.asarray(col),
+            "tmag": cat["tmag"]}
+
+
+# ---------------------------------------------------------------------------
+# The batched aperture extractor
+# ---------------------------------------------------------------------------
+
+def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
+                           max_stars: int = 48,
+                           k2p2_params: Optional[K2P2Params] = None) -> list:
+    """K2P2 aperture photometry for a batch of targets on one context.
+
+    Returns a list of :class:`TargetResult` in the order of ``starids``.
+
+    The stamp-resize retry loop runs on the host over the shrinking set of
+    targets whose mask touches a stamp edge (counterpart of
+    AperturePhotometry/photometry.py:71-165, incl. the halo-switch quick
+    break for bright targets at the stamp-size limit).
+    """
+    settings = load_settings()
+    halos_tmag = settings.getfloat("haloswitch", "tmag_limit", fallback=6.0)
+    halos_flux = settings.getfloat("haloswitch", "flux_limit", fallback=0.01)
+    if k2p2_params is None:
+        k2p2_params = K2P2Params(thresh=0.8, min_no_pixels_in_mask=4,
+                                 min_for_cluster=4, ws_blur=0.5, ws_thres=0.0,
+                                 ws_footprint=3, segmentation=True,
+                                 extend_overflow=True)
+
+    starids = [int(s) for s in starids]
+    N = len(starids)
+    H, W = ctx.shape
+    T = ctx.n_times
+    cat_all = _full_catalog_positions(ctx)
+    sum_dev = jnp.asarray(np.nan_to_num(ctx.sumimage, nan=np.nan))
+
+    # --- per-target setup -------------------------------------------------
+    targets = []
+    for sid in starids:
+        tgt = ctx.catalog.target(sid)
+        row, col = ctx.target_position(tgt["ra"], tgt["decl"])
+        if ctx.datasource.startswith("tpf"):
+            stamp = [0, H, 0, W]      # TPF: whole postage stamp
+            max_retries = 1
+        else:
+            nr, nc = default_stamp_size(tgt["tmag"])
+            stamp = [int(round(row)) - nr // 2, int(round(row)) + nr // 2 + 1,
+                     int(round(col)) - nc // 2, int(round(col)) + nc // 2 + 1]
+            max_retries = (10 if tgt["tmag"] < 6 else 5) if retries is None else retries
+        targets.append({
+            "starid": sid, "target": tgt, "row": row, "col": col,
+            "stamp": stamp, "resizes": 0, "max_retries": max_retries,
+            "done": False, "status": None, "details": {}, "mask": None,
+            "edge_sides": None,
+        })
+
+    def clip_stamp(s):
+        return [int(max(s[0], 0)), int(min(s[1], H)), int(max(s[2], 0)), int(min(s[3], W))]
+
+    # --- retry rounds -------------------------------------------------------
+    for rnd in range(max(t["max_retries"] for t in targets)):
+        active = [t for t in targets if not t["done"] and t["resizes"] <= t["max_retries"]]
+        if not active:
+            break
+        # Common padded bucket for this round:
+        hs = [clip_stamp(t["stamp"]) for t in active]
+        bh = max(s[1] - s[0] for s in hs)
+        bw = max(s[3] - s[2] for s in hs)
+        bh = min(-(-bh // 8) * 8 + 1, H)
+        bw = min(-(-bw // 8) * 8 + 1, W)
+
+        r0s, c0s, cats, sums, colls, trs, tcs, tts = [], [], [], [], [], [], [], []
+        for t, s in zip(active, hs):
+            # slice of bucket size fully inside the CCD, anchored at stamp:
+            r0 = min(s[0], H - bh)
+            c0 = min(s[2], W - bw)
+            t["bucket_corner"] = (r0, c0)
+            t["clipped"] = s
+            r0s.append(r0)
+            c0s.append(c0)
+            trs.append(t["row"] - r0)
+            tcs.append(t["col"] - c0)
+            tts.append(t["target"]["tmag"])
+            cats.append(_stamp_catalog(cat_all, ctx.wcs, s[0], s[1], s[2], s[3],
+                                       max_stars=max_stars))
+        r0s = jnp.asarray(np.array(r0s, np.int32))
+        c0s = jnp.asarray(np.array(c0s, np.int32))
+        stamps = _gather_stamps_image(sum_dev, r0s, c0s, bh, bw)
+        coll = _gather_stamps_image(jnp.asarray(ctx.collected.astype(np.float32)),
+                                    r0s, c0s, bh, bw) > 0
+        # Mask out pixels outside each target's *logical* stamp:
+        yy, xx = np.mgrid[0:bh, 0:bw]
+        logical = []
+        for t in active:
+            r0, c0 = t["bucket_corner"]
+            s = t["clipped"]
+            logical.append((yy + r0 >= s[0]) & (yy + r0 < s[1])
+                           & (xx + c0 >= s[2]) & (xx + c0 < s[3]))
+        logical = jnp.asarray(np.stack(logical))
+        stamps = jnp.where(logical, stamps, jnp.nan)
+        coll = coll & logical
+
+        cat_col = jnp.asarray(np.stack([c["col"] + (t["clipped"][2] - t["bucket_corner"][1])
+                                        for c, t in zip(cats, active)]), jnp.float32)
+        cat_row = jnp.asarray(np.stack([c["row"] + (t["clipped"][0] - t["bucket_corner"][0])
+                                        for c, t in zip(cats, active)]), jnp.float32)
+        cat_tmag = jnp.asarray(np.stack([c["tmag"] for c in cats]), jnp.float32)
+        cat_sid = jnp.asarray(np.stack([c["starid"] for c in cats]))
+        cat_valid = jnp.asarray(np.stack([c["valid"] for c in cats]))
+        t_row = jnp.asarray(np.array(trs), jnp.float32)
+        t_col = jnp.asarray(np.array(tcs), jnp.float32)
+        t_tmag = jnp.asarray(np.array(tts), jnp.float32)
+
+        out = build_masks_batch(stamps, cat_col, cat_row, cat_tmag, cat_sid,
+                                cat_valid, t_row, t_col, t_tmag,
+                                collected=coll, params=k2p2_params)
+        masks = np.asarray(out["mask"])
+        found = np.asarray(out["found_mask"])
+        no_flux = np.asarray(out["no_flux"])
+        in_mask = np.asarray(out["in_mask"])
+
+        # Edge contact of the *logical* stamp:
+        for i, t in enumerate(active):
+            r0, c0 = t["bucket_corner"]
+            s = t["clipped"]
+            m = masks[i]
+            bot = np.any(m[s[0] - r0, :]) if s[0] - r0 < bh else False
+            top = np.any(m[s[1] - r0 - 1, :])
+            left = np.any(m[:, s[2] - c0])
+            right = np.any(m[:, s[3] - c0 - 1])
+            t["mask_bucket"] = m
+            t["found"] = bool(found[i])
+            t["no_flux"] = bool(no_flux[i])
+            t["cat"] = cats[i]
+            t["in_mask"] = np.asarray(in_mask[i]) & cats[i]["valid"]
+
+            resize = {}
+            if ctx.datasource == "ffi":
+                if bot:
+                    resize["down"] = 10
+                if top:
+                    resize["up"] = 10
+                if left:
+                    resize["left"] = 10
+                if right:
+                    resize["right"] = 10
+            if not resize:
+                t["done"] = True
+                continue
+            # try to resize; clamp to CCD:
+            old = list(t["stamp"])
+            s2 = list(t["stamp"])
+            if "down" in resize:
+                s2[0] -= 10
+            if "up" in resize:
+                s2[1] += 10
+            if "left" in resize:
+                s2[2] -= 10
+            if "right" in resize:
+                s2[3] += 10
+            changed = clip_stamp(s2) != clip_stamp(old)
+            t["stamp"] = s2
+            if not changed:
+                # Could not resize further -> halo-switch quick break check:
+                tgt = t["target"]
+                if tgt["tmag"] <= halos_tmag and not str(t.get("datasource", "")).startswith("tpf:"):
+                    edge_img = np.zeros_like(m, dtype=bool)
+                    cs = t["clipped"]
+                    if "down" in resize:
+                        edge_img[cs[0] - r0, :] = True
+                    if "up" in resize:
+                        edge_img[cs[1] - r0 - 1, :] = True
+                    if "left" in resize:
+                        edge_img[:, cs[2] - c0] = True
+                    if "right" in resize:
+                        edge_img[:, cs[3] - c0 - 1] = True
+                    stamp_np = np.asarray(stamps[i])
+                    edge_flux = np.nansum(stamp_np[m & edge_img])
+                    expected = float(np.asarray(mag2flux(tgt["tmag"])))
+                    if edge_flux / expected > halos_flux:
+                        t["details"]["edge_flux"] = float(edge_flux)
+                        t["status"] = STATUS.ERROR
+                        t["details"]["errors"] = ["Stamp resize hit limit. Haloswitch quick break."]
+                t["done"] = True
+                t["edge_unresolved"] = bool(t["status"] is None)
+                if t["status"] is None:
+                    # Mask still touches the edge but we accept it (warning later
+                    # comes only from minimum mask; reference breaks the loop):
+                    pass
+                continue
+            t["resizes"] += 1
+            if t["resizes"] >= t["max_retries"]:
+                t["status"] = STATUS.ERROR
+                t["details"]["errors"] = ["Too many stamp resizes."]
+                t["done"] = True
+
+    # Any still-active targets after rounds -> too many resizes:
+    for t in targets:
+        if not t.get("done"):
+            t["status"] = STATUS.ERROR
+            t.setdefault("details", {})["errors"] = ["Too many stamp resizes."]
+            t["done"] = True
+
+    # --- final flux extraction (single bucket over final masks) -------------
+    ok_targets = [t for t in targets if t["status"] is None and t.get("mask_bucket") is not None]
+    results = {t["starid"]: None for t in targets}
+
+    if ok_targets:
+        bh = max(t["mask_bucket"].shape[0] for t in ok_targets)
+        bw = max(t["mask_bucket"].shape[1] for t in ok_targets)
+        masks_f = np.zeros((len(ok_targets), bh, bw), bool)
+        r0s = np.zeros(len(ok_targets), np.int32)
+        c0s = np.zeros(len(ok_targets), np.int32)
+        for i, t in enumerate(ok_targets):
+            m = t["mask_bucket"]
+            r0, c0 = t["bucket_corner"]
+            r0 = min(r0, H - bh)
+            c0 = min(c0, W - bw)
+            # re-anchor mask into the (possibly larger) final bucket:
+            dr = t["bucket_corner"][0] - r0
+            dc = t["bucket_corner"][1] - c0
+            masks_f[i, dr:dr + m.shape[0], dc:dc + m.shape[1]] = m
+            r0s[i] = r0
+            c0s[i] = c0
+        flux, ferr, fbkg, cent, shen = _extract_flux_batch(
+            ctx.images, ctx.images_err, ctx.backgrounds, ctx.pixelflags,
+            jnp.asarray(masks_f), jnp.asarray(r0s), jnp.asarray(c0s), bh, bw)
+        flux = np.asarray(flux)
+        ferr = np.asarray(ferr)
+        fbkg = np.asarray(fbkg)
+        cent = np.asarray(cent)
+        shen = np.asarray(shen)
+
+        # pos_corr for every target over time:
+        rows = np.array([t["row"] for t in ok_targets])
+        cols = np.array([t["col"] for t in ok_targets])
+        if ctx.datasource.startswith("tpf"):
+            rows_ccd = rows + ctx.pixel_offset_row
+            cols_ccd = cols + ctx.pixel_offset_col
+        else:
+            rows_ccd, cols_ccd = rows, cols
+        jit_all = ctx.motion.jitter_batch(ctx.time - ctx.timecorr, cols_ccd, rows_ccd)  # (T, N, 2)
+
+        metrics = compute_metrics_batch(
+            jnp.asarray(ctx.time), jnp.asarray(flux), jnp.asarray(ferr),
+            jnp.asarray(ctx.quality), jnp.asarray(cent))
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+
+    for i, t in enumerate(ok_targets):
+        tgt = t["target"]
+        m = t["mask_bucket"]
+        r0, c0 = t["bucket_corner"]
+        s = t["clipped"]
+        # crop the bucket down to the logical stamp:
+        mb = masks_f[i]
+        fr0, fc0 = int(r0s[i]), int(c0s[i])
+        mask_stamp = mb[s[0] - fr0:s[1] - fr0, s[2] - fc0:s[3] - fc0]
+        sum_stamp = ctx.sumimage[s[0]:s[1], s[2]:s[3]]
+        coll_stamp = ctx.collected[s[0]:s[1], s[2]:s[3]]
+        bkgused_stamp = ctx.bkg_pixels_used[s[0]:s[1], s[2]:s[3]]
+        aperture = (coll_stamp.astype(np.int32)
+                    + 4 * bkgused_stamp.astype(np.int32)
+                    + 2 * mask_stamp.astype(np.int32)
+                    + 8 * mask_stamp.astype(np.int32))
+
+        status = STATUS.OK
+        details = dict(t["details"])
+        add_headers = {
+            "KP_THRES": (k2p2_params.thresh, "K2P2 sum-image threshold"),
+            "KP_MIPIX": (k2p2_params.min_no_pixels_in_mask, "K2P2 min pixels in mask"),
+            "KP_MICLS": (k2p2_params.min_for_cluster, "K2P2 min pix. for cluster"),
+            "KP_CLSRA": (float(np.sqrt(2) + np.finfo(np.float64).eps), "K2P2 cluster radius"),
+            "KP_WS": (bool(k2p2_params.segmentation), "K2P2 watershed segmentation"),
+            "KP_WSBLR": (k2p2_params.ws_blur, "K2P2 watershed blur"),
+            "KP_WSTHR": (k2p2_params.ws_thres, "K2P2 watershed threshold"),
+            "KP_WSFOT": (k2p2_params.ws_footprint, "K2P2 watershed footprint"),
+            "KP_EX": (bool(k2p2_params.extend_overflow), "K2P2 extend overflow"),
+        }
+
+        # contamination + skip targets (photometry.py:222-250):
+        cat = t["cat"]
+        in_mask = t["in_mask"]
+        ids_in = cat["starid"][in_mask]
+        skip_targets = [int(s_) for s_ in ids_in if s_ != t["starid"]]
+        if len(ids_in) == 0:
+            contamination = np.nan
+            status = STATUS.ERROR
+            details.setdefault("errors", []).append("No targets in mask.")
+        elif len(ids_in) == 1 and int(ids_in[0]) == t["starid"]:
+            contamination = 0.0
+        else:
+            mags = cat["tmag"][in_mask]
+            mags_total = -2.5 * np.log10(np.nansum(10 ** (-0.4 * mags)))
+            contamination = float(np.clip(1.0 - 10 ** (0.4 * (mags_total - tgt["tmag"])), 0, None))
+        if np.isfinite(contamination):
+            add_headers["AP_CONT"] = (round(float(contamination), 8), "AP contamination")
+            details["contamination"] = float(contamination)
+
+        if not t["found"]:
+            status = STATUS.WARNING if status == STATUS.OK else status
+            details.setdefault("errors", []).append(
+                "No flux above threshold." if t["no_flux"]
+                else "No mask found for main target. Using minimum aperture.")
+
+        lc = {
+            "time": ctx.time, "timecorr": ctx.timecorr,
+            "cadenceno": ctx.cadenceno, "quality": ctx.quality,
+            "flux": flux[i], "flux_err": ferr[i], "flux_background": fbkg[i],
+            "pos_centroid": cent[i], "pos_corr": jit_all[:, i, :],
+            "shenanigans_any": shen[i],
+        }
+        details.update({
+            "mean_flux": float(metrics["mean_flux"][i]),
+            "variance": float(metrics["variance"][i]),
+            "rms_hour": float(metrics["rms_hour"][i]),
+            "ptp": float(metrics["ptp"][i]),
+            "variability": float(metrics["variability"][i]),
+            "pos_centroid": metrics["pos_centroid"][i].tolist(),
+            "mask_size": int(mask_stamp.sum()),
+            "stamp_resizes": t["resizes"],
+            "stamp": tuple(s),
+        })
+        # edge flux of the final mask (BasePhotometry.py:1397-1405):
+        edge_m = np.zeros_like(mask_stamp, bool)
+        edge_m[:, (0, -1)] = True
+        edge_m[(0, -1), 1:-1] = True
+        details["edge_flux"] = float(np.nansum(sum_stamp[mask_stamp & edge_m]))
+
+        # Stamp WCS (CRPIX shifted to the stamp):
+        stamp_wcs = None
+        if ctx.wcs is not None:
+            stamp_wcs = ctx.wcs.copy()
+            if ctx.datasource == "ffi":
+                stamp_wcs.crpix = stamp_wcs.crpix - np.array([s[2], s[0]])
+
+        if np.all(np.isnan(flux[i])):
+            status = STATUS.ERROR
+            details.setdefault("errors", []).append("Final lightcurve fluxes are all NaNs")
+
+        results[t["starid"]] = TargetResult(
+            starid=t["starid"], method="aperture", status=status,
+            sector=ctx.sector, camera=ctx.camera, ccd=ctx.ccd,
+            cadence=ctx.cadence, data_rel=ctx.data_rel,
+            target=tgt, lightcurve=lc, mask=mask_stamp,
+            aperture_image=aperture, sumimage_stamp=sum_stamp,
+            stamp=tuple(s), details=details, additional_headers=add_headers,
+            skip_targets=skip_targets, num_frm=ctx.num_frm,
+            n_readout=ctx.n_readout, ticver=ctx.catalog.settings.ticver,
+            stamp_wcs=stamp_wcs)
+
+    # Error-status targets get a stub result:
+    for t in targets:
+        if results[t["starid"]] is None:
+            results[t["starid"]] = TargetResult(
+                starid=t["starid"], method="aperture",
+                status=t["status"] or STATUS.ERROR,
+                sector=ctx.sector, camera=ctx.camera, ccd=ctx.ccd,
+                cadence=ctx.cadence, data_rel=ctx.data_rel,
+                target=t["target"], lightcurve={}, details=t["details"],
+                num_frm=ctx.num_frm, n_readout=ctx.n_readout,
+                ticver=ctx.catalog.settings.ticver)
+
+    return [results[s] for s in starids]
