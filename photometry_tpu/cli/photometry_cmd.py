@@ -1,0 +1,120 @@
+"""
+CLI: run photometry from the TODO list.
+
+Counterpart of reference run_tessphot.py: select a task by --starid,
+--priority, --random or queue order; or drain the whole queue with --all.
+The TPU-native default drains the queue in *batches* leased per
+(sector, camera, ccd, datasource, cadence) so a single device context is
+reused across hundreds of targets.
+
+Usage:
+    python -m photometry_tpu.cli.photometry_cmd [options] [input_folder]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from timeit import default_timer
+
+from .common import add_logging_args, resolve_input_folder, setup_logging
+
+
+def task_to_result(task, res, elaptime, worker_wait_time=None) -> dict:
+    details = dict(res.details)
+    details["skip_targets"] = res.skip_targets
+    return {
+        "priority": task["priority"], "starid": task["starid"],
+        "sector": task["sector"], "camera": task["camera"], "ccd": task["ccd"],
+        "cadence": task["cadence"], "datasource": task["datasource"],
+        "tmag": task["tmag"], "status": res.status, "method_used": res.method,
+        "time": elaptime, "worker_wait_time": worker_wait_time,
+        "details": details,
+    }
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Run TESS photometry (TPU).")
+    add_logging_args(parser)
+    parser.add_argument("-m", "--method", default=None,
+                        choices=("aperture", "psf", "linpsf", "halo"))
+    parser.add_argument("-t", "--test", action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument("--starid", type=int, default=None)
+    parser.add_argument("--priority", type=int, default=None)
+    parser.add_argument("-r", "--random", action="store_true")
+    parser.add_argument("--all", action="store_true", help="Process all pending tasks.")
+    parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--datasource", default=None, choices=("ffi", "tpf"))
+    parser.add_argument("--camera", type=int, default=None)
+    parser.add_argument("--ccd", type=int, default=None)
+    parser.add_argument("--version", type=int, required=True,
+                        help="Data release version to put in output files.")
+    parser.add_argument("-o", "--output", default=None,
+                        help="Output directory (default: alongside input).")
+    parser.add_argument("input_folder", nargs="?", default=None)
+    args = parser.parse_args(argv)
+    logger = setup_logging(args)
+
+    input_folder = resolve_input_folder(args.input_folder)
+    output_folder = args.output or os.environ.get("TESSPHOT_OUTPUT") or input_folder
+
+    from ..taskmanager import TaskManager
+    from ..core.dispatcher import open_context, photometry_batch
+
+    constraints = {}
+    if args.starid is not None:
+        constraints["starid"] = args.starid
+    if args.priority is not None:
+        constraints["priority"] = args.priority
+    if args.datasource:
+        constraints["datasource"] = args.datasource
+    if args.camera:
+        constraints["camera"] = args.camera
+    if args.ccd:
+        constraints["ccd"] = args.ccd
+
+    summary = os.path.join(output_folder, "summary.json") if args.all else None
+    with TaskManager(input_folder, cleanup=args.all, summary=summary) as tm:
+        n_done = 0
+        while True:
+            if args.random and not args.all:
+                batch = [tm.get_random_task()]
+                if batch[0] is None:
+                    batch = []
+            elif args.all:
+                batch = tm.get_task_batch(batch_size=args.batch_size, **constraints)
+            else:
+                t = tm.get_task(**constraints)
+                batch = [t] if t else []
+            if not batch:
+                break
+            tm.start_tasks([t["priority"] for t in batch])
+
+            tic = default_timer()
+            ctx = open_context(input_folder, batch[0])
+            try:
+                if args.method:
+                    for t in batch:
+                        t["method"] = args.method
+                # get_task_batch groups by exact datasource, so every task in
+                # the batch shares this context (tpf:NNN groups are per-primary).
+                results = photometry_batch(ctx, batch,
+                                           output_folder=None if args.output is None else output_folder,
+                                           version=args.version)
+            finally:
+                ctx.close()
+            elaptime = (default_timer() - tic) / max(len(batch), 1)
+            for t, res in zip(batch, results):
+                tm.save_result(task_to_result(t, res, elaptime))
+                n_done += 1
+                logger.info("Priority %d: TIC %d -> %s", t["priority"],
+                            t["starid"], res.status.name)
+            if not args.all:
+                break
+        logger.info("%d task(s) processed.", n_done)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,178 @@
+"""
+Method dispatcher: run photometry for tasks, with automatic halo switching.
+
+Behavioral counterpart of reference photometry/tessphot.py:52-135: the
+default path runs aperture photometry, and bright targets whose mask leaks
+flux off the stamp edge (or that exhausted their stamp resizes) are retried
+with halo photometry; explicit methods map to {aperture, psf, linpsf, halo}.
+All exceptions are converted to STATUS.ERROR results carrying the traceback
+(tessphot.py:20-49).
+
+TPU re-design: the dispatcher is *batch-first* — :func:`photometry_batch`
+runs a whole compatible task batch through the batched aperture extractor,
+then reruns the (few) halo-switch candidates; :func:`photometry_single`
+keeps the reference's one-star call signature.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import traceback
+from typing import Optional
+
+import numpy as np
+
+from ..io.settings import load_settings
+from ..utils.mathutils import mag2flux
+from .engine import SectorContext, TpfContext, extract_aperture_batch, TargetResult
+from .status import STATUS
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["photometry_batch", "photometry_single", "open_context"]
+
+_HALO_SWITCH_ERRORS = ("Too many stamp resizes.",
+                       "Stamp resize hit limit. Haloswitch quick break.")
+
+
+def open_context(input_folder: str, task: dict, cache: str = "device"):
+    """Create the right data context for a task dict."""
+    ds = task["datasource"]
+    if ds == "ffi":
+        return SectorContext(input_folder, int(task["sector"]),
+                             int(task["camera"]), int(task["ccd"]), cache=cache)
+    if ds.startswith("tpf:"):
+        return TpfContext(input_folder, int(ds[4:]), sector=int(task["sector"]),
+                          cadence=int(task["cadence"]))
+    return TpfContext(input_folder, int(task["starid"]), sector=int(task["sector"]),
+                      cadence=int(task["cadence"]))
+
+
+def _error_result(task, ctx, tb: str) -> TargetResult:
+    return TargetResult(
+        starid=int(task["starid"]), method="error", status=STATUS.ERROR,
+        sector=int(task.get("sector", 0)), camera=int(task.get("camera", 0)),
+        ccd=int(task.get("ccd", 0)), cadence=int(task.get("cadence", 0)),
+        data_rel=getattr(ctx, "data_rel", 0) or 0, target={},
+        lightcurve={}, details={"errors": [tb]})
+
+
+def _run_method(ctx, starids, method: str, **kw) -> list:
+    if method == "aperture":
+        return extract_aperture_batch(ctx, starids, **kw)
+    if method == "halo":
+        from ..models.halo import extract_halo_batch
+        return extract_halo_batch(ctx, starids, **kw)
+    if method == "psf":
+        from ..models.psf_fit import extract_psf_batch
+        return extract_psf_batch(ctx, starids, **kw)
+    if method == "linpsf":
+        from ..models.linpsf import extract_linpsf_batch
+        return extract_linpsf_batch(ctx, starids, **kw)
+    raise ValueError(f"Invalid method: '{method}'")
+
+
+def _needs_halo_switch(res: TargetResult, tmag_limit: float, flux_limit: float) -> bool:
+    """Reference tessphot.py:86-111 auto-switch condition."""
+    if res.target.get("tmag", 99) > tmag_limit:
+        return False
+    errors = res.details.get("errors", []) or []
+    if res.status == STATUS.ERROR and any(e in errors for e in _HALO_SWITCH_ERRORS):
+        return True
+    edge_flux = res.details.get("edge_flux")
+    if edge_flux is not None and res.status in (STATUS.OK, STATUS.WARNING, STATUS.ERROR):
+        expected = float(np.asarray(mag2flux(res.target["tmag"])))
+        if edge_flux / expected > flux_limit:
+            return True
+    return False
+
+
+def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
+                     version: Optional[int] = None, save: bool = True) -> list:
+    """Run photometry for a batch of compatible tasks on one context.
+
+    Tasks without an explicit method run aperture photometry; bright targets
+    matching the halo-switch condition are rerun with halo.  Exceptions per
+    method-group degrade to STATUS.ERROR results rather than killing the
+    batch.  When ``save``, light curves of OK/WARNING results are written.
+    """
+    settings = load_settings()
+    tmag_limit = settings.getfloat("haloswitch", "tmag_limit", fallback=6.0)
+    flux_limit = settings.getfloat("haloswitch", "flux_limit", fallback=0.01)
+
+    by_method = {}
+    for task in tasks:
+        method = task.get("method") or "aperture"
+        by_method.setdefault(method, []).append(task)
+
+    results = {}
+    for method, group in by_method.items():
+        sids = [int(t["starid"]) for t in group]
+        try:
+            out = _run_method(ctx, sids, method)
+        except Exception:
+            tb = traceback.format_exc().strip()
+            logger.exception("Method %s failed for batch", method)
+            out = [_error_result(t, ctx, tb) for t in group]
+        for task, res in zip(group, out):
+            res.details.setdefault("task", {}).update(
+                {k: task.get(k) for k in ("priority", "datasource")})
+            results[int(task["starid"])] = (task, res)
+
+    # Automatic halo switch (only for default-method targets):
+    default_tasks = [t for t in tasks if not t.get("method")]
+    switch = []
+    for t in default_tasks:
+        _, res = results[int(t["starid"])]
+        if not str(t["datasource"]).startswith("tpf:") and _needs_halo_switch(
+                res, tmag_limit, flux_limit):
+            switch.append(t)
+    if switch:
+        sids = [int(t["starid"]) for t in switch]
+        logger.warning("Auto-switching %d target(s) to halo photometry", len(sids))
+        try:
+            out = _run_method(ctx, sids, "halo")
+            for t, res in zip(switch, out):
+                prev_edge = results[int(t["starid"])][1].details.get("edge_flux")
+                res.details["edge_flux"] = prev_edge
+                res.details.setdefault("errors", []).append(
+                    "Automatically switched to Halo photometry")
+                results[int(t["starid"])] = (t, res)
+        except Exception:
+            logger.exception("Halo switch failed; keeping aperture results")
+
+    final = []
+    for task in tasks:
+        _, res = results[int(task["starid"])]
+        if save and res.status in (STATUS.OK, STATUS.WARNING):
+            outdir = output_folder
+            if outdir is None:
+                outdir = os.path.join(ctx.input_folder,
+                                      f"c{ctx.cadence:04d}", f"{res.starid:011d}"[:5])
+            try:
+                res.save(outdir, version if version is not None else 1)
+            except Exception:
+                res.status = STATUS.ERROR
+                res.details.setdefault("errors", []).append(traceback.format_exc().strip())
+        final.append(res)
+    return final
+
+
+def photometry_single(starid: int, input_folder: str, method: Optional[str] = None,
+                      datasource: str = "ffi", sector: Optional[int] = None,
+                      camera: Optional[int] = None, ccd: Optional[int] = None,
+                      cadence: Optional[int] = None,
+                      output_folder: Optional[str] = None,
+                      version: Optional[int] = None, save: bool = True) -> TargetResult:
+    """One-star entry point (reference tessphot.py call signature)."""
+    task = {"starid": starid, "datasource": datasource, "sector": sector,
+            "camera": camera, "ccd": ccd, "cadence": cadence, "method": method}
+    ctx = open_context(input_folder, task)
+    try:
+        task.update({"sector": ctx.sector, "camera": ctx.camera, "ccd": ctx.ccd,
+                     "cadence": ctx.cadence})
+        return photometry_batch(ctx, [task], output_folder=output_folder,
+                                version=version, save=save)[0]
+    finally:
+        ctx.close()

@@ -63,10 +63,17 @@ class ImageCube:
     def create(cls, path: str, n_times: int, shape, header: Optional[dict] = None,
                overwrite: bool = False) -> "ImageCube":
         if os.path.exists(path) and not overwrite:
-            cube = cls(path, "r+")
-            if cube.n_times != n_times or cube.shape != tuple(shape):
-                raise ValueError(f"Existing cube {path} has incompatible shape")
-            return cube
+            try:
+                cube = cls(path, "r+")
+                if cube.n_times != n_times or cube.shape != tuple(shape):
+                    raise ValueError(f"Existing cube {path} has incompatible shape")
+                return cube
+            except (OSError, KeyError):
+                # Truncated/corrupt file from a killed run — recreate it.
+                # (Crash recovery is restart-based, like the reference's
+                # STARTED-reset semantics; a corrupt cube must never wedge
+                # the pipeline.)
+                os.remove(path)
         cube = cls(path, "w")
         h5 = cube.h5
         comp = dict(compression="lzf", shuffle=True)
