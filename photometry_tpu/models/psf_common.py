@@ -1,0 +1,122 @@
+"""
+Shared machinery for the PSF-based photometry models (psf / linpsf).
+
+Target setup replicates reference psf_photometry.py:117-129 /
+linpsf_photometry.py:98-111: fit the <=5 nearest catalog stars within 5 px
+of the main target that are not more than 5 mag fainter; star positions per
+cadence come from the jitter-shifted catalog (``catalog_attime``,
+BasePhotometry.py:1224-1258) — here precomputed as one (T, S, 2) array.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..core.engine import (_full_catalog_positions, default_stamp_size)
+from ..utils.mathutils import mag2flux
+from .prf import PRF
+
+MAX_FIT_STARS = 5
+FIT_RADIUS = 5.0
+DMAG_LIMIT = -5.0
+CUTOFF_RADIUS = 5.0
+
+#: Dummy star placed far outside the stamp (zero PRF contribution).
+DUMMY_POS = -1000.0
+
+
+def context_prf(ctx, prf: Optional[PRF] = None) -> PRF:
+    """The PRF to use for a context: calibrated table if present, else
+    an integrated-Gaussian (sigma from the PSFSIGMA header when available)."""
+    if prf is not None:
+        return prf
+    from ..io.settings import data_dir
+    import os
+    psf_dir = os.path.join(data_dir(), "psf")
+    if os.path.isdir(psf_dir):
+        try:
+            h, w = ctx.shape
+            return PRF.from_mat(psf_dir, max(ctx.sector, 1), ctx.camera, ctx.ccd,
+                                (0, h, 0, w))
+        except FileNotFoundError:
+            pass
+    sigma = float(ctx.header.get("PSFSIGMA", 1.25)) if hasattr(ctx, "header") else 1.25
+    return PRF.gaussian(sigma=sigma)
+
+
+@dataclass
+class PsfTargetSetup:
+    starid: int
+    target: dict
+    stamp: tuple                 #: (r0, r1, c0, c1) clipped
+    rows0: np.ndarray            #: (S,) star rows in stamp coords at ref time
+    cols0: np.ndarray            #: (S,)
+    fluxes0: np.ndarray          #: (S,) initial fluxes from tmag
+    star_ids: np.ndarray         #: (S,)
+    star_tmags: np.ndarray       #: (S,)
+    valid: np.ndarray            #: (S,) real star vs dummy padding
+    target_idx: int              #: index of the main target within the S slots
+    target_row: float            #: main target in stamp coords
+    target_col: float
+
+
+def setup_psf_target(ctx, starid: int, cat_all=None, max_stars: int = MAX_FIT_STARS
+                     ) -> PsfTargetSetup:
+    """Select and package the stars to fit around one target."""
+    if cat_all is None:
+        cat_all = _full_catalog_positions(ctx)
+    tgt = ctx.catalog.target(starid)
+    row, col = ctx.target_position(tgt["ra"], tgt["decl"])
+    H, W = ctx.shape
+    if ctx.datasource.startswith("tpf"):
+        stamp = (0, H, 0, W)
+    else:
+        nr, nc = default_stamp_size(tgt["tmag"])
+        stamp = (max(int(round(row)) - nr // 2, 0),
+                 min(int(round(row)) + nr // 2 + 1, H),
+                 max(int(round(col)) - nc // 2, 0),
+                 min(int(round(col)) + nc // 2 + 1, W))
+
+    dist = np.hypot(cat_all["row"] - row, cat_all["col"] - col)
+    sel = (dist < FIT_RADIUS) & ((tgt["tmag"] - cat_all["tmag"]) > DMAG_LIMIT)
+    idx = np.where(sel)[0]
+    idx = idx[np.argsort(dist[idx])][:max_stars]
+    # The main target must be among the fitted stars:
+    tpos = np.where(cat_all["starid"][idx] == starid)[0]
+    if len(tpos) == 0:
+        idx = np.concatenate([[int(np.argmax(cat_all["starid"] == starid))], idx])[:max_stars]
+        tpos = np.array([0])
+    target_idx = int(tpos[0])
+
+    S = max_stars
+    rows0 = np.full(S, DUMMY_POS)
+    cols0 = np.full(S, DUMMY_POS)
+    fluxes0 = np.zeros(S)
+    star_ids = np.zeros(S, np.int64)
+    star_tmags = np.full(S, 30.0)
+    valid = np.zeros(S, bool)
+    k = len(idx)
+    rows0[:k] = cat_all["row"][idx] - stamp[0]
+    cols0[:k] = cat_all["col"][idx] - stamp[2]
+    fluxes0[:k] = np.asarray(mag2flux(cat_all["tmag"][idx]))
+    star_ids[:k] = cat_all["starid"][idx]
+    star_tmags[:k] = cat_all["tmag"][idx]
+    valid[:k] = True
+    return PsfTargetSetup(
+        starid=starid, target=tgt, stamp=stamp, rows0=rows0, cols0=cols0,
+        fluxes0=fluxes0, star_ids=star_ids, star_tmags=star_tmags, valid=valid,
+        target_idx=target_idx, target_row=row - stamp[0], target_col=col - stamp[2])
+
+
+def minimum_aperture_mask(shape, target_row: float, target_col: float,
+                          collected=None) -> np.ndarray:
+    """2x2-ish pixel mask around the target (photometry.py:31-41)."""
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    m = (np.abs(xx - target_col) <= 1) & (np.abs(yy - target_row) <= 1)
+    if collected is not None:
+        m &= collected
+    return m
