@@ -1,0 +1,105 @@
+"""Tests of TV-min halo photometry (counterpart of reference tests/test_halo.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from photometry_tpu.models.halo import tvmin_weights, find_split_times, extract_halo_batch
+from photometry_tpu.sim.simulator import SimConfig, simulate_sector
+from photometry_tpu.prepare import prepare_photometry
+from photometry_tpu.core.engine import SectorContext
+from photometry_tpu.core.status import STATUS
+
+
+def test_tvmin_downweights_noisy_pixels():
+    """TV-min must shift weight to the pixels with the cleanest signal."""
+    rng = np.random.default_rng(3)
+    T, P = 200, 10
+    signal = 1.0 + 0.01 * np.sin(np.linspace(0, 8 * np.pi, T))
+    fn = np.empty((T, P))
+    for p in range(P):
+        noise = 0.001 if p < 5 else 0.1   # pixels 5..9 are junk
+        fn[:, p] = signal * (1 + rng.normal(0, noise, T))
+    w, tv = tvmin_weights(jnp.asarray(fn, jnp.float32), jnp.ones(T, bool))
+    w = np.asarray(w)
+    assert w.sum() == pytest.approx(1.0, rel=1e-5)
+    assert w[:5].sum() > 0.9
+    # The weighted flux tracks the signal better than a plain mean:
+    F = fn @ w
+    Fm = fn.mean(axis=1)
+    assert np.std(F - signal) < 0.3 * np.std(Fm - signal)
+
+
+def test_find_split_times_sector_table():
+    t = np.linspace(1330, 1355, 100)
+    s = find_split_times(1, t, np.zeros(100))
+    # Only splits inside the time range are kept:
+    assert s == (1339.0, 1347.366, 1349.315)
+    s = find_split_times(2, t, np.zeros(100))
+    assert s is None  # 1368 outside the range
+
+
+def test_find_split_times_gap_finder():
+    # Sector with no table entry and a mid-series gap:
+    t = np.concatenate([np.linspace(2000, 2012, 50), np.linspace(2014, 2026, 50)])
+    s = find_split_times(42, t, np.zeros(100))
+    assert s is not None and len(s) == 1
+    assert 2012 < s[0] < 2014
+    # No gap -> no split:
+    t2 = np.linspace(2000, 2026, 100)
+    assert find_split_times(42, t2, np.zeros(100)) is None
+
+
+@pytest.fixture(scope="module")
+def halo_setup(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("halo"))
+    # One bright star (tmag ~4.8) in the field:
+    sim = simulate_sector(SimConfig(shape=(96, 96), n_times=20, n_stars=12,
+                                    seed=61, tmag_range=(4.8, 12.0)))
+    sim.write_ffis(d)
+    sim.write_catalog(d)
+    prepare_photometry(d)
+    ctx = SectorContext(d, 1, 3, 2)
+    return sim, ctx
+
+
+def test_halo_extraction(halo_setup):
+    sim, ctx = halo_setup
+    sid = int(sim.starid[0])  # brightest
+    res = extract_halo_batch(ctx, [sid])[0]
+    assert res.status == STATUS.OK
+    assert res.method == "halo"
+    lc = res.lightcurve
+    n_finite = np.isfinite(lc["flux"]).sum()
+    assert n_finite >= 18
+    # Scaled to the expected flux level of the target:
+    from photometry_tpu.utils.mathutils import mag2flux
+    expect = float(np.asarray(mag2flux(sim.tmag[0])))
+    assert np.nanmedian(lc["flux"]) == pytest.approx(expect, rel=0.3)
+    # Relative variability of the halo curve tracks the injected signal:
+    rel = lc["flux"] / np.nanmedian(lc["flux"])
+    truth = sim.flux_true[0] / sim.flux_true[0].mean()
+    good = np.isfinite(rel)
+    if np.std(truth) > 1e-4:
+        c = np.corrcoef(rel[good], truth[good])[0, 1]
+        assert c > 0.5
+    # Weightmap recorded for the FITS product:
+    wm = res.details["halo_weightmap"]
+    assert wm["weightmap"].shape[0] == len(wm["initial_cadence"])
+    assert np.isfinite(lc["flux_err"][np.isfinite(lc["flux"])]).all()
+
+
+def test_halo_in_dispatcher_and_save(halo_setup, tmp_path):
+    from photometry_tpu.core.dispatcher import photometry_batch
+    from photometry_tpu.io import fits as pf
+    sim, ctx = halo_setup
+    task = {"starid": int(sim.starid[0]), "datasource": "ffi", "method": "halo",
+            "sector": 1, "camera": 3, "ccd": 2, "cadence": 1800, "priority": 1}
+    res = photometry_batch(ctx, [task], output_folder=str(tmp_path), version=1)[0]
+    assert res.status == STATUS.OK
+    path = res.details["filepath_lightcurve"]
+    hdus = pf.read_fits(path)
+    names = [h.name for h in hdus]
+    assert "WEIGHTMAP" in names
+    wm = hdus[names.index("WEIGHTMAP")]
+    assert wm.data["WEIGHTMAP"].ndim == 3
