@@ -1,0 +1,131 @@
+"""
+Diagnostic movies of prepared image cubes.
+
+Behavioral counterpart of reference run_ffimovie.py: per-CCD movies of the
+background-subtracted images / backgrounds / pixel flags with colour scales
+computed once and cached as HDF5 attributes (run_ffimovie.py:98-132), plus a
+camera mosaic view with the per-CCD rotations of the TESS focal plane
+(:240-243).  ffmpeg is not a dependency: frames render with matplotlib and
+are written as an animated GIF (PIL) or a PNG sequence.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+from .io.cube import ImageCube
+from .plots import plot_image, plt
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["make_movie", "mosaic_frame"]
+
+
+def _color_scale(cube: ImageCube, dataset: str = "images") -> tuple:
+    """Percentile colour scale, cached as attrs on the cube (ffimovie:98-132)."""
+    key_lo, key_hi = f"_movie_vmin_{dataset}", f"_movie_vmax_{dataset}"
+    if key_lo in cube.attrs and key_hi in cube.attrs:
+        return float(cube.attrs[key_lo]), float(cube.attrs[key_hi])
+    n = cube.n_times
+    idx = np.unique(np.linspace(0, n - 1, min(8, n)).astype(int))
+    samples = np.concatenate([getattr(cube, dataset)(k, k + 1).ravel() for k in idx])
+    samples = samples[np.isfinite(samples)]
+    if samples.size == 0:
+        vmin, vmax = 0.0, 1.0
+    else:
+        vmin, vmax = np.percentile(samples, [1.0, 99.0])
+    try:
+        cube.attrs[key_lo] = vmin
+        cube.attrs[key_hi] = vmax
+    except (OSError, KeyError, ValueError):
+        pass  # read-only file
+    return float(vmin), float(vmax)
+
+
+def make_movie(cube_path: str, output: Optional[str] = None,
+               dataset: str = "images", fps: int = 10,
+               max_frames: Optional[int] = None, fmt: str = "gif",
+               dpi: int = 80) -> str:
+    """Render one cube dataset to an animated GIF (or PNG frame directory)."""
+    from PIL import Image as PILImage
+    mode = "r+"
+    try:
+        cube = ImageCube(cube_path, mode)
+    except OSError:
+        cube = ImageCube(cube_path, "r")
+    try:
+        vmin, vmax = _color_scale(cube, dataset)
+        T = cube.n_times if max_frames is None else min(cube.n_times, max_frames)
+        hdr = cube.header
+        frames = []
+        outdir = None
+        if fmt == "png":
+            outdir = output or cube_path.replace(".hdf5", f"_{dataset}_frames")
+            os.makedirs(outdir, exist_ok=True)
+        for k in range(T):
+            img = getattr(cube, dataset)(k, k + 1)[0]
+            fig = plt.figure(figsize=(6, 6))
+            ax = fig.add_subplot(111)
+            plot_image(img, ax=ax, scale="sqrt", vmin=vmin, vmax=vmax,
+                       title=f"S{hdr.get('SECTOR', 0):02d} cam{hdr.get('CAMERA', 0)} "
+                             f"ccd{hdr.get('CCD', 0)} {dataset} #{k}",
+                       cbar="right")
+            fig.canvas.draw()
+            buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
+            plt.close(fig)
+            if fmt == "png":
+                PILImage.fromarray(buf).save(os.path.join(outdir, f"{k:04d}.png"))
+            else:
+                frames.append(PILImage.fromarray(buf))
+        if fmt == "png":
+            return outdir
+        out = output or cube_path.replace(".hdf5", f"_{dataset}.gif")
+        frames[0].save(out, save_all=True, append_images=frames[1:],
+                       duration=int(1000 / fps), loop=0)
+        logger.info("Movie written: %s", out)
+        return out
+    finally:
+        cube.close()
+
+
+#: Focal-plane rotations (quarter turns) of each (camera, ccd) in the mosaic,
+#: matching the layout of reference run_ffimovie.py:240-243.
+_MOSAIC_ROT = {1: 2, 2: 2, 3: 0, 4: 0}
+
+
+def mosaic_frame(input_folder: str, sector: int, k: int = 0,
+                 dataset: str = "images") -> np.ndarray:
+    """Assemble one 16-CCD (4 cameras x 4 CCDs) mosaic frame.
+
+    Missing CCDs render as NaN blocks.  Returns the mosaic image.
+    """
+    from .io import discovery
+    tile = None
+    blocks = {}
+    for camera in (1, 2, 3, 4):
+        for ccd in (1, 2, 3, 4):
+            files = discovery.find_cube_files(input_folder, sector=sector,
+                                              camera=camera, ccd=ccd)
+            if not files:
+                continue
+            with ImageCube(files[0]) as cube:
+                img = getattr(cube, dataset)(k, k + 1)[0]
+            img = np.rot90(img, _MOSAIC_ROT[ccd])
+            blocks[(camera, ccd)] = img
+            tile = img.shape
+    if tile is None:
+        raise FileNotFoundError(f"No cubes for sector {sector} in {input_folder}")
+    H, W = tile
+    mosaic = np.full((4 * H, 4 * W), np.nan, np.float32)
+    for camera in (1, 2, 3, 4):
+        for ccd in (1, 2, 3, 4):
+            if (camera, ccd) not in blocks:
+                continue
+            row = (camera - 1)
+            col = (ccd - 1)
+            mosaic[row * H:(row + 1) * H, col * W:(col + 1) * W] = blocks[(camera, ccd)]
+    return mosaic

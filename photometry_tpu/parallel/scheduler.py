@@ -1,0 +1,169 @@
+"""
+Distributed master/worker photometry scheduler.
+
+Behavioral counterpart of reference run_tessphot_mpi.py: a pull-based
+master/worker loop — workers announce READY, the master leases work, workers
+return DONE with results, EXIT when the queue drains (tags at
+run_tessphot_mpi.py:74; loop at :112-142/:151-209).  Pull scheduling
+self-balances heterogeneous task times; only the master touches the TODO
+database; killed runs recover via the STARTED-reset on restart.
+
+Re-design for the TPU fleet: MPI ranks become spawned worker *processes*
+(one per host/chip — no mpi4py dependency), messages ride
+``multiprocessing`` pipes, and the unit of work is a **task batch** sharing
+one device context (hundreds of targets per lease) instead of a single star,
+so each worker amortises one jitted program across the batch.  Workers write
+their own light-curve files; only small result dicts return to the master,
+exactly like the reference's design where bulk data never crosses ranks.
+"""
+
+from __future__ import annotations
+
+import logging
+import multiprocessing
+import os
+import traceback
+from timeit import default_timer
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["run_distributed", "worker_loop"]
+
+# Message tags (run_tessphot_mpi.py:74):
+READY, START, DONE, EXIT = "READY", "START", "DONE", "EXIT"
+
+
+def _result_to_dict(task, res, elaptime, worker_wait_time):
+    details = dict(res.details)
+    details["skip_targets"] = getattr(res, "skip_targets", [])
+    details.pop("halo_weightmap", None)  # bulk data stays on the worker
+    return {
+        "priority": task["priority"], "starid": task["starid"],
+        "sector": task["sector"], "camera": task["camera"], "ccd": task["ccd"],
+        "cadence": task["cadence"], "datasource": task["datasource"],
+        "tmag": task["tmag"], "status": res.status.value,
+        "method_used": res.method, "time": elaptime,
+        "worker_wait_time": worker_wait_time, "details": details,
+    }
+
+
+def worker_loop(conn, input_folder: str, output_folder: Optional[str],
+                version: int, platform: Optional[str] = None):
+    """Worker process: READY -> recv batch -> photometry -> DONE ... EXIT."""
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+    from ..core.dispatcher import open_context, photometry_batch
+    from ..core.status import STATUS
+
+    tic_wait = default_timer()
+    conn.send((READY, None))
+    while True:
+        tag, payload = conn.recv()
+        if tag == EXIT:
+            conn.close()
+            return
+        assert tag == START
+        batch = payload
+        worker_wait_time = default_timer() - tic_wait
+        tic = default_timer()
+        results = []
+        ctx = None
+        try:
+            ctx = open_context(input_folder, batch[0])
+            out = photometry_batch(ctx, batch, output_folder=output_folder,
+                                   version=version)
+            elap = (default_timer() - tic) / max(len(batch), 1)
+            results = [_result_to_dict(t, r, elap, worker_wait_time)
+                       for t, r in zip(batch, out)]
+        except Exception:
+            tb = traceback.format_exc().strip()
+            elap = (default_timer() - tic) / max(len(batch), 1)
+            results = [{
+                "priority": t["priority"], "starid": t["starid"],
+                "sector": t["sector"], "camera": t["camera"], "ccd": t["ccd"],
+                "cadence": t["cadence"], "datasource": t["datasource"],
+                "tmag": t["tmag"], "status": STATUS.ERROR.value,
+                "method_used": "error", "time": elap,
+                "worker_wait_time": worker_wait_time,
+                "details": {"errors": [tb]},
+            } for t in batch]
+        finally:
+            if ctx is not None:
+                ctx.close()
+        tic_wait = default_timer()
+        conn.send((DONE, results))
+
+
+def run_distributed(input_folder: str, n_workers: int = 2,
+                    version: int = 1, output_folder: Optional[str] = None,
+                    batch_size: int = 256, platform: Optional[str] = None,
+                    summary: Optional[str] = None, **constraints) -> dict:
+    """Master loop: lease batches to worker processes until the queue drains.
+
+    Returns the final summary dict.
+    """
+    from ..core.status import STATUS
+    from ..taskmanager import TaskManager
+
+    mp = multiprocessing.get_context("spawn")
+    if summary is None:
+        summary = os.path.join(output_folder or input_folder, "summary.json")
+
+    with TaskManager(input_folder, cleanup=True, load_into_memory=True,
+                     summary=summary) as tm:
+        workers = []
+        for _ in range(n_workers):
+            parent_conn, child_conn = mp.Pipe()
+            proc = mp.Process(target=worker_loop,
+                              args=(child_conn, input_folder, output_folder,
+                                    version, platform))
+            proc.start()
+            workers.append({"proc": proc, "conn": parent_conn, "alive": True})
+
+        n_active = len(workers)
+        import multiprocessing.connection as mpc
+        while n_active > 0:
+            conns = [w["conn"] for w in workers if w["alive"]]
+            ready = mpc.wait(conns, timeout=60.0)
+            if not ready:
+                # Heartbeat timeout: check for dead workers (the reference
+                # hangs here — run_tessphot_mpi.py:198 known limitation; we
+                # instead reclaim their leases via the STARTED-reset).
+                for w in workers:
+                    if w["alive"] and not w["proc"].is_alive():
+                        logger.error("Worker died; its leased tasks will be "
+                                     "reset on next startup.")
+                        w["alive"] = False
+                        n_active -= 1
+                continue
+            for conn in ready:
+                w = next(x for x in workers if x["conn"] is conn)
+                try:
+                    tag, payload = conn.recv()
+                except (EOFError, OSError):
+                    w["alive"] = False
+                    n_active -= 1
+                    continue
+                if tag == DONE:
+                    for r in payload:
+                        r["status"] = STATUS(r["status"])
+                        tm.save_result(r)
+                if tag in (READY, DONE):
+                    batch = tm.get_task_batch(batch_size=batch_size, **constraints)
+                    if batch:
+                        tm.start_tasks([t["priority"] for t in batch])
+                        conn.send((START, batch))
+                    else:
+                        conn.send((EXIT, None))
+                        w["alive"] = False
+                        n_active -= 1
+
+        for w in workers:
+            w["proc"].join(timeout=30)
+            if w["proc"].is_alive():  # pragma: no cover
+                w["proc"].terminate()
+        tm.backup()
+        tm.write_summary()
+        return dict(tm.summary)
