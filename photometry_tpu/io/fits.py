@@ -327,6 +327,15 @@ def _read_data(fh, hdr: Header):
         return cols, "bintable"
 
     dtype = np.dtype(_BITPIX_DTYPE[int(hdr["BITPIX"])])
+    if int(hdr["BITPIX"]) == -32 and len(raw) >= (1 << 20):
+        # Hot ingestion path: threaded native byteswap for large images.
+        from ..native_ops import bswap_f32
+        arr = bswap_f32(raw).reshape(shape)
+        bscale = hdr.get("BSCALE", 1)
+        bzero = hdr.get("BZERO", 0)
+        if bscale != 1 or bzero != 0:
+            arr = arr * bscale + bzero
+        return arr, "image"
     arr = np.frombuffer(raw, dtype=dtype).reshape(shape)
     bscale = hdr.get("BSCALE", 1)
     bzero = hdr.get("BZERO", 0)
