@@ -27,7 +27,36 @@ Subpackages
 """
 
 from .version import __version__  # noqa: F401
+from .core.status import STATUS  # noqa: F401
 
-STATUS_UNKNOWN = 0
 
-__all__ = ["__version__"]
+def __getattr__(name):
+    """Lazy top-level API (keeps `import photometry_tpu` light)."""
+    lazy = {
+        "SectorContext": ("photometry_tpu.core.engine", "SectorContext"),
+        "TpfContext": ("photometry_tpu.core.engine", "TpfContext"),
+        "extract_aperture_batch": ("photometry_tpu.core.engine", "extract_aperture_batch"),
+        "photometry_single": ("photometry_tpu.core.dispatcher", "photometry_single"),
+        "photometry_batch": ("photometry_tpu.core.dispatcher", "photometry_batch"),
+        "TaskManager": ("photometry_tpu.taskmanager", "TaskManager"),
+        "prepare_photometry": ("photometry_tpu.prepare", "prepare_photometry"),
+        "make_todo": ("photometry_tpu.todolist", "make_todo"),
+        "make_catalog": ("photometry_tpu.catalog", "make_catalog"),
+        "StarCatalog": ("photometry_tpu.catalog", "StarCatalog"),
+        "PRF": ("photometry_tpu.models.prf", "PRF"),
+        "TESSQualityFlags": ("photometry_tpu.quality", "TESSQualityFlags"),
+        "PixelQualityFlags": ("photometry_tpu.quality", "PixelQualityFlags"),
+        "CorrectorQualityFlags": ("photometry_tpu.quality", "CorrectorQualityFlags"),
+    }
+    if name in lazy:
+        import importlib
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'photometry_tpu' has no attribute {name!r}")
+
+
+__all__ = ["__version__", "STATUS", "SectorContext", "TpfContext",
+           "extract_aperture_batch", "photometry_single", "photometry_batch",
+           "TaskManager", "prepare_photometry", "make_todo", "make_catalog",
+           "StarCatalog", "PRF", "TESSQualityFlags", "PixelQualityFlags",
+           "CorrectorQualityFlags"]

@@ -25,8 +25,8 @@ import numpy as np
 
 from .utils.mathutils import add_proper_motion
 
-__all__ = ["StarCatalog", "make_catalog_from_arrays", "catalog_filename",
-           "query_footprint"]
+__all__ = ["StarCatalog", "make_catalog", "make_catalog_from_arrays",
+           "catalog_filename", "query_footprint"]
 
 
 def catalog_filename(sector: int, camera: int, ccd: int) -> str:
@@ -167,6 +167,38 @@ def query_footprint(cursor, footprint: np.ndarray, columns: str = "*",
         cursor.execute(query, {"ra_min": ra_min - buffer_deg, "ra_max": ra_max + buffer_deg,
                                "dec_min": dec_min, "dec_max": dec_max})
     return cursor.fetchall()
+
+
+def make_catalog(input_folder: str, sector: int, camera: int, ccd: int,
+                 tic_source: Optional[str] = None, overwrite: bool = False,
+                 **kw) -> str:
+    """Create the catalog for one (sector, camera, ccd) from a TIC extract.
+
+    Counterpart of reference catalog.py:109-336 with the TASOC-internal
+    PostgreSQL replaced by a file source: ``tic_source`` is an ``.npz`` (or
+    whitespace table) with columns starid, ra, dec (J2000), pm_ra, pm_dec,
+    tmag and optionally teff — produced offline from the public TIC.
+    (The reference's `tasoc_db.py` talks to a host only reachable inside
+    the Aarhus network; a file extract is the portable equivalent.)
+    """
+    if tic_source is None:
+        raise ValueError(
+            "A TIC extract file is required (no TASOC-internal database here). "
+            "Provide tic_source=<file.npz> with starid/ra/dec/pm_ra/pm_dec/tmag.")
+    if tic_source.endswith(".npz"):
+        with np.load(tic_source) as d:
+            cols = {k: np.asarray(d[k]) for k in d.files}
+    else:
+        raw = np.loadtxt(tic_source)
+        names = ("starid", "ra", "dec", "pm_ra", "pm_dec", "tmag", "teff")
+        cols = {n: raw[:, i] for i, n in enumerate(names[:raw.shape[1]])}
+    return make_catalog_from_arrays(
+        input_folder, sector, camera, ccd,
+        starid=cols["starid"], ra_j2000=cols["ra"], dec_j2000=cols["dec"],
+        pm_ra=cols.get("pm_ra", np.zeros(len(cols["starid"]))),
+        pm_dec=cols.get("pm_dec", np.zeros(len(cols["starid"]))),
+        tmag=cols["tmag"], teff=cols.get("teff"),
+        overwrite=overwrite, ticver=kw.pop("ticver", "tic-extract"), **kw)
 
 
 _COLUMNS = ("starid", "ra", "decl", "ra_J2000", "decl_J2000", "pm_ra", "pm_decl",

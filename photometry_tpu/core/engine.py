@@ -86,7 +86,12 @@ class SectorContext:
     datasource = "ffi"
 
     def __init__(self, input_folder: str, sector: int, camera: int, ccd: int,
-                 cache: str = "device", motion_mode: str = "wcs"):
+                 cache: str = "device", motion_mode: str = "wcs",
+                 time_corrector=None):
+        #: Optional core.timecorr.TimeCorrector for per-target barycentric
+        #: corrections (recomputed per star position, like
+        #: BasePhotometry.py:443-453; None keeps the cube's frame-level values).
+        self.time_corrector = time_corrector
         self.input_folder = input_folder
         self.sector = sector
         self.camera = camera
@@ -164,6 +169,19 @@ class SectorContext:
         """(row, col) 0-based CCD position for catalog coordinates."""
         row, col = self.wcs.rowcol_of_radec(np.atleast_1d(ra), np.atleast_1d(dec))
         return float(row[0]), float(col[0])
+
+    def corrected_time(self, ra: float, dec: float) -> tuple:
+        """(time, timecorr) for a target at (ra, dec).
+
+        With a TimeCorrector, the barycentric correction is recomputed for
+        the target's own sky position from the uncorrected spacecraft time;
+        otherwise the cube's frame-level values pass through.
+        """
+        if self.time_corrector is None:
+            return self.time, self.timecorr
+        t_nocorr = self.time - self.timecorr
+        corr = self.time_corrector.barycentric_correction(t_nocorr, float(ra), float(dec))
+        return t_nocorr + corr, corr.astype(np.float32)
 
 
 class TpfContext:
@@ -252,6 +270,12 @@ class TpfContext:
         """(row, col) in *stamp* coordinates (the TPF WCS is stamp-relative)."""
         row, col = self.wcs.rowcol_of_radec(np.atleast_1d(ra), np.atleast_1d(dec))
         return float(row[0]), float(col[0])
+
+    time_corrector = None
+
+    def corrected_time(self, ra: float, dec: float) -> tuple:
+        """TPFs keep the per-cadence SPOC barycentric corrections."""
+        return self.time, self.timecorr
 
 
 # ---------------------------------------------------------------------------
@@ -689,8 +713,9 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
                 "No flux above threshold." if t["no_flux"]
                 else "No mask found for main target. Using minimum aperture.")
 
+        t_i, tc_i = ctx.corrected_time(tgt["ra"], tgt["decl"])
         lc = {
-            "time": ctx.time, "timecorr": ctx.timecorr,
+            "time": t_i, "timecorr": tc_i,
             "cadenceno": ctx.cadenceno, "quality": ctx.quality,
             "flux": flux[i], "flux_err": ferr[i], "flux_background": fbkg[i],
             "pos_centroid": cent[i], "pos_corr": jit_all[:, i, :],
