@@ -22,15 +22,19 @@ import time
 import numpy as np
 
 
-def make_data(T=96, H=1024, W=1024, n_stars=400, seed=7):
-    """Synthetic sector-CCD cube with injected stars (no per-frame loops)."""
+def make_data(T=128, H=2048, W=2048, n_stars=1200, seed=7):
+    """Synthetic sector-CCD cube with injected stars.
+
+    The sum-image with stars is rendered on the host (small); the full time
+    cube is synthesised ON DEVICE — host->device transfers through the TPU
+    tunnel are far slower than device HBM and must stay out of the setup.
+    """
     rng = np.random.default_rng(seed)
     rows = rng.uniform(10, H - 10, n_stars)
     cols = rng.uniform(10, W - 10, n_stars)
     tmag = np.sort(rng.uniform(7.5, 13.0, n_stars))
     flux = np.clip(10 ** (-0.4 * (tmag - 20.451)), 0, None)
-    base = rng.normal(0.0, 1.5, (H, W)).astype(np.float32)
-    img0 = base.copy()
+    img0 = rng.normal(0.0, 1.5, (H, W)).astype(np.float32)
     win = 7
     yy, xx = np.mgrid[-win:win + 1, -win:win + 1]
     for r, c, f in zip(rows, cols, flux):
@@ -41,20 +45,30 @@ def make_data(T=96, H=1024, W=1024, n_stars=400, seed=7):
         c0, c1 = max(ci - win, 0), min(ci + win + 1, W)
         img0[r0:r1, c0:c1] += g[(r0 - ri + win):(r1 - ri + win),
                                 (c0 - ci + win):(c1 - ci + win)]
-    # time axis: tiny noise variations around img0 (memory-light broadcast):
-    images = np.broadcast_to(img0, (T, H, W)).copy()
-    images += rng.normal(0, 0.5, (T, 1, 1)).astype(np.float32)
-    return images, img0, rows, cols, tmag
+    return T, img0, rows, cols, tmag
 
 
-def bench_tpu(images, sumimage, rows, cols, tmag, n_targets=256, h=17, w=17):
+def _enable_compile_cache():
+    import os
+    import jax
+    cache = os.path.join(os.path.expanduser("~"), ".photometry_tpu", "jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def bench_tpu(T, sumimage, rows, cols, tmag, n_targets=1024, h=17, w=17):
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
     sys.path.insert(0, ".")
     from photometry_tpu.models.k2p2 import build_masks_batch, K2P2Params
     from photometry_tpu.core.engine import _extract_flux_batch
 
-    T, H, W = images.shape
+    H, W = sumimage.shape
     N = min(n_targets, len(rows))
     r0s = np.clip(np.round(rows[:N]).astype(np.int32) - h // 2, 0, H - h)
     c0s = np.clip(np.round(cols[:N]).astype(np.int32) - w // 2, 0, W - w)
@@ -70,11 +84,14 @@ def bench_tpu(images, sumimage, rows, cols, tmag, n_targets=256, h=17, w=17):
     cat_valid[:, 0] = True
     cat_sid[:, 0] = np.arange(N) + 1
 
-    imgs = jnp.asarray(images)
+    # Synthesize the time cube on device (sum-image + per-frame noise):
+    sums = jnp.asarray(sumimage)
+    key = jax.random.PRNGKey(0)
+    imgs = (sums[None] + 0.5 * jax.random.normal(key, (T, H, W), jnp.float32))
+    imgs = imgs.block_until_ready()
     errs = jnp.sqrt(jnp.abs(imgs)) + 1.0
     bkgs = jnp.zeros_like(imgs)
-    pflags = jnp.zeros(images.shape, jnp.uint8)
-    sums = jnp.asarray(sumimage)
+    pflags = jnp.zeros((T, H, W), jnp.uint8)
 
     def gather(img, r0, c0):
         return jax.lax.dynamic_slice(img, (r0, c0), (h, w))
@@ -99,24 +116,27 @@ def bench_tpu(images, sumimage, rows, cols, tmag, n_targets=256, h=17, w=17):
             jnp.asarray(c0s), h, w)
         return flux
 
-    # warmup/compile:
-    flux = full_extract()
-    jax.block_until_ready(flux)
-    # timed runs:
-    n_rep = 3
+    # warmup/compile (np.asarray forces completion — through the TPU tunnel,
+    # block_until_ready alone does not reliably synchronise):
+    flux = np.asarray(full_extract())
+    # timed runs: reps stay queued on device (production is pipelined);
+    # one final fetch forces completion of the whole chain:
+    n_rep = 10
     tic = time.perf_counter()
     for _ in range(n_rep):
-        flux = full_extract()
-    jax.block_until_ready(flux)
+        out = full_extract()
+    flux = np.asarray(out)
     dt = (time.perf_counter() - tic) / n_rep
-    return N / dt, np.asarray(flux)
+    return N / dt, flux
 
 
-def bench_reference_numpy(images, sumimage, rows, cols, n_targets=8, h=17, w=17):
+def bench_reference_numpy(T, sumimage, rows, cols, n_targets=8, h=17, w=17):
     """Single-target-at-a-time NumPy extraction (the reference's design)."""
     from scipy import ndimage
     from scipy.stats import gaussian_kde
-    T, H, W = images.shape
+    H, W = sumimage.shape
+    rng = np.random.default_rng(1)
+    images = np.broadcast_to(sumimage, (T, H, W))
     N = min(n_targets, len(rows))
     tic = time.perf_counter()
     for i in range(N):
@@ -143,9 +163,9 @@ def bench_reference_numpy(images, sumimage, rows, cols, n_targets=8, h=17, w=17)
 
 
 def main():
-    images, sumimage, rows, cols, tmag = make_data()
-    tpu_rate, flux = bench_tpu(images, sumimage, rows, cols, tmag)
-    ref_rate = bench_reference_numpy(images, sumimage, rows, cols)
+    T, sumimage, rows, cols, tmag = make_data()
+    tpu_rate, flux = bench_tpu(T, sumimage, rows, cols, tmag)
+    ref_rate = bench_reference_numpy(T, sumimage, rows, cols)
     result = {
         "metric": "aperture_extraction_targets_per_sec_per_chip",
         "value": round(float(tpu_rate), 2),

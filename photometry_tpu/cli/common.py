@@ -17,11 +17,28 @@ def add_logging_args(parser: argparse.ArgumentParser):
                              "before JAX_PLATFORMS can take effect.")
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache: first-compile costs are paid once
+    per program *shape*, not once per process — essential for a fleet of
+    short-lived workers."""
+    import jax
+    cache = os.environ.get("PHOTOMETRY_TPU_COMPILE_CACHE",
+                           os.path.join(os.path.expanduser("~"),
+                                        ".photometry_tpu", "jax_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax versions
+        pass
+
+
 def setup_logging(args) -> logging.Logger:
     platform = getattr(args, "jax_platform", None) or os.environ.get("PHOTOMETRY_TPU_PLATFORM")
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+    enable_compile_cache()
     level = logging.INFO
     if getattr(args, "quiet", False):
         level = logging.WARNING

@@ -338,37 +338,51 @@ def _extract_flux_batch(images, images_err, backgrounds, pixelflags,
     images: (T, H, W); masks: (N, h, w); r0s/c0s: (N,) stamp corners.
     Returns flux (N, T), flux_err (N, T), flux_bkg (N, T),
     centroid (N, T, 2) in 1-based CCD coords, shenanigans_any (N, T).
-    """
-    def per_target(mask, r0, c0):
-        def per_frame(img, err, bkg, pfl):
-            st = jax.lax.dynamic_slice(img, (r0, c0), (h, w))
-            se = jax.lax.dynamic_slice(err, (r0, c0), (h, w))
-            sb = jax.lax.dynamic_slice(bkg, (r0, c0), (h, w))
-            sf = jax.lax.dynamic_slice(pfl, (r0, c0), (h, w))
-            m = mask
-            vals = jnp.where(m, st, jnp.nan)
-            finite = jnp.isfinite(vals)
-            n_fin = jnp.sum(finite)
-            total = jnp.nansum(jnp.where(finite, vals, 0.0))
-            all_bad = (n_fin == 0) | jnp.all(jnp.where(m, st == 0, True))
-            flux = jnp.where(all_bad, jnp.nan, total)
-            ferr = jnp.where(all_bad, jnp.nan,
-                             jnp.sqrt(jnp.nansum(jnp.where(m & jnp.isfinite(se), se**2, 0.0))))
-            # flux-weighted centroid over positive pixels (1-based CCD coords):
-            yy, xx = jnp.mgrid[0:h, 0:w]
-            wgt = jnp.where(m & finite & (vals > 0), vals, 0.0)
-            wsum = jnp.sum(wgt)
-            cx = jnp.sum(wgt * (xx + c0 + 1)) / jnp.maximum(wsum, 1e-30)
-            cy = jnp.sum(wgt * (yy + r0 + 1)) / jnp.maximum(wsum, 1e-30)
-            cent = jnp.where(wsum > 0, jnp.stack([cx, cy]), jnp.full(2, jnp.nan))
-            bsum = jnp.where(jnp.all(~(m & jnp.isfinite(sb))), jnp.nan,
-                             jnp.nansum(jnp.where(m & jnp.isfinite(sb), sb, 0.0)))
-            shen = jnp.any((sf & PixelQualityFlags.BackgroundShenanigans) != 0)
-            return flux, ferr, bsum, cent, shen
-        return jax.vmap(per_frame)(images, images_err, backgrounds, pixelflags)
 
-    flux, ferr, bsum, cent, shen = jax.vmap(per_target)(masks, r0s, c0s)
-    return flux, ferr, bsum, cent, shen
+    Formulated as dense gathers (one advanced-indexing gather per cube) and
+    einsum reductions: nested vmapped ``dynamic_slice``s compile in minutes
+    at full sector scale, while this compiles in seconds and runs at HBM
+    bandwidth (the cubes stay resident; only stamp bytes are touched).
+    """
+    N = masks.shape[0]
+    rows = r0s[:, None] + jnp.arange(h)[None, :]               # (N, h)
+    cols = c0s[:, None] + jnp.arange(w)[None, :]               # (N, w)
+    ridx = rows[:, :, None]                                    # (N, h, 1)
+    cidx = cols[:, None, :]                                    # (N, 1, w)
+
+    st = images[:, ridx, cidx]                                 # (T, N, h, w)
+    se = images_err[:, ridx, cidx]
+    sb = backgrounds[:, ridx, cidx]
+    sf = pixelflags[:, ridx, cidx]
+
+    m = masks[None]                                            # (1, N, h, w)
+    vals = jnp.where(m, st, jnp.nan)
+    finite = jnp.isfinite(vals)
+    n_fin = jnp.sum(finite, axis=(2, 3))                       # (T, N)
+    total = jnp.sum(jnp.where(finite, vals, 0.0), axis=(2, 3))
+    all_zero = jnp.all(jnp.where(m, st == 0, True), axis=(2, 3))
+    all_bad = (n_fin == 0) | all_zero
+    flux = jnp.where(all_bad, jnp.nan, total)                  # (T, N)
+    err2 = jnp.sum(jnp.where(m & jnp.isfinite(se), se * se, 0.0), axis=(2, 3))
+    ferr = jnp.where(all_bad, jnp.nan, jnp.sqrt(err2))
+
+    # flux-weighted centroid over positive pixels (1-based CCD coords):
+    wgt = jnp.where(m & finite & (vals > 0), vals, 0.0)        # (T, N, h, w)
+    wsum = jnp.sum(wgt, axis=(2, 3))
+    cx = jnp.einsum("tnhw,nw->tn", wgt, (cols + 1).astype(wgt.dtype))
+    cy = jnp.einsum("tnhw,nh->tn", wgt, (rows + 1).astype(wgt.dtype))
+    cx = cx / jnp.maximum(wsum, 1e-30)
+    cy = cy / jnp.maximum(wsum, 1e-30)
+    cent = jnp.where(wsum[..., None] > 0, jnp.stack([cx, cy], axis=-1),
+                     jnp.nan)                                   # (T, N, 2)
+
+    mb = m & jnp.isfinite(sb)
+    bsum = jnp.where(jnp.any(mb, axis=(2, 3)),
+                     jnp.sum(jnp.where(mb, sb, 0.0), axis=(2, 3)), jnp.nan)
+    shen = jnp.any((sf & PixelQualityFlags.BackgroundShenanigans) != 0, axis=(2, 3))
+
+    # transpose to (N, T) layout expected by callers:
+    return (flux.T, ferr.T, bsum.T, jnp.transpose(cent, (1, 0, 2)), shen.T)
 
 
 def _stamp_catalog(cat_all: dict, wcs, r0, r1, c0, c1, offset_rc=(0, 0),
