@@ -118,7 +118,11 @@ def ecc_align(ref, img, mode: str = "euclidian", n_iters: int = 50,
     gref = _normalize(ref, valid)
 
     n_params = N_PARAMS[mode]
-    p0 = jnp.zeros(n_params, jnp.float32)
+    if mode == "affine":
+        # affine params are the full 2x3 matrix — identity start, not zeros:
+        p0 = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], jnp.float32)
+    else:
+        p0 = jnp.zeros(n_params, jnp.float32)
 
     # Image gradients of img (for the GN jacobian), sampled at warped coords:
     gy, gx = jnp.gradient(img)
