@@ -3,15 +3,22 @@ Pallas TPU kernel: aperture flux extraction by direct HBM->VMEM stamp DMA.
 
 The XLA formulation of the extraction (core.engine._extract_flux_batch)
 expresses per-target stamp reads as gather ops.  This Pallas kernel instead
-*streams* each target's (T, h, w) stamp column out of the HBM-resident cube
-with an explicit async DMA whose source slice is computed from
-scalar-prefetched stamp corners (the PrefetchScalarGridSpec pattern), then
-reduces it against the target's mask in VMEM — touching exactly the stamp
-bytes, with the DMA double-buffered across the target grid.
+*streams* tile-aligned stamp windows out of the HBM-resident cube with
+explicit async DMAs whose source slices come from scalar-prefetched stamp
+corners (the PrefetchScalarGridSpec pattern), reducing them against the
+targets' masks in VMEM.
 
-Used as an optional fast path by the engine (enable with
-``PHOTOMETRY_TPU_PALLAS=1``); the XLA path remains the reference
-implementation and the fallback on non-TPU backends.
+Mosaic tiling constraints shape the design:
+- DMA source offsets/shapes must be (8, 128)-tile aligned in the last two
+  dims, so stamp corners snap down to (8, 128) multiples and the stamp
+  window pads to (ceil8(h+7), ceil128(w+127)); the sub-tile shift is folded
+  into the mask.
+- Block shapes need the second-to-last dim divisible by 8, so targets are
+  processed in GROUPs of 8 and the time axis in chunks.
+
+The XLA path remains the reference implementation; this kernel is the
+tile-streaming alternative whose DMA traffic is higher for tiny stamps but
+contiguous (useful for large stamps / saturated-star masks).
 """
 
 from __future__ import annotations
@@ -24,6 +31,9 @@ import numpy as np
 
 __all__ = ["pallas_extract_flux", "pallas_available"]
 
+GROUP = 8    #: targets per grid step
+T_CHUNK = 8  #: cadences per grid step
+
 
 def pallas_available() -> bool:
     try:
@@ -33,47 +43,60 @@ def pallas_available() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
-def pallas_extract_flux(images, masks, r0s, c0s, h: int, w: int,
-                        interpret: bool = False):
-    """Masked stamp sums: (T, H, W) cube x (N, h, w) masks -> (N, T) fluxes.
-
-    NaNs in the cube are treated as missing (excluded from the sums); frames
-    whose in-mask pixels are all missing yield NaN, matching the XLA path.
-    """
+def _pallas_extract_padded(images, masks, r0s, c0s, hp: int, wp: int,
+                           interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     T, H, W = images.shape
     N = masks.shape[0]
+    n_groups = N // GROUP
+    n_tchunks = T // T_CHUNK
 
-    def kernel(r0s_ref, c0s_ref, images_hbm, mask_ref, out_ref, scratch, sem):
-        i = pl.program_id(0)
-        r0 = r0s_ref[i]
-        c0 = c0s_ref[i]
-        dma = pltpu.make_async_copy(
-            images_hbm.at[:, pl.ds(r0, h), pl.ds(c0, w)], scratch, sem)
-        dma.start()
-        dma.wait()
-        st = scratch[:]                                  # (T, h, w)
-        m = mask_ref[0]                                  # (h, w)
-        vals = jnp.where(m[None], st, jnp.nan)
-        finite = jnp.isfinite(vals)
-        total = jnp.sum(jnp.where(finite, vals, 0.0), axis=(1, 2))
-        n_fin = jnp.sum(finite, axis=(1, 2))
-        out_ref[0] = jnp.where(n_fin > 0, total, jnp.nan)
+    def kernel(r0s_ref, c0s_ref, images_hbm, mask_ref, out_ref, scratch, sems):
+        g = pl.program_id(0)
+
+        def dma(k, tc, slot):
+            i = g * GROUP + k
+            r0 = pl.multiple_of(r0s_ref[i], 8)
+            c0 = pl.multiple_of(c0s_ref[i], 128)
+            return pltpu.make_async_copy(
+                images_hbm.at[pl.ds(tc * T_CHUNK, T_CHUNK),
+                              pl.ds(r0, hp), pl.ds(c0, wp)],
+                scratch.at[slot, k], sems.at[slot, k])
+
+        m = mask_ref[:]                                   # (GROUP, hp, wp)
+        # Double-buffered, statically unrolled loop over time chunks so all
+        # output stores use static (tile-provable) offsets:
+        for k in range(GROUP):
+            dma(k, 0, 0).start()
+        for tc in range(n_tchunks):
+            slot = tc % 2
+            nxt = (tc + 1) % 2
+            if tc + 1 < n_tchunks:
+                for k in range(GROUP):
+                    dma(k, tc + 1, nxt).start()
+            for k in range(GROUP):
+                dma(k, tc, slot).wait()
+            st = scratch[slot]                            # (GROUP, Tc, hp, wp)
+            vals = jnp.where(m[:, None], st, jnp.nan)
+            finite = jnp.isfinite(vals)
+            total = jnp.sum(jnp.sum(jnp.where(finite, vals, 0.0), axis=3), axis=2)
+            n_fin = jnp.sum(jnp.sum(finite.astype(jnp.float32), axis=3), axis=2)
+            out_ref[:, tc * T_CHUNK:(tc + 1) * T_CHUNK] = jnp.where(
+                n_fin > 0, total, jnp.nan)                 # (GROUP, Tc)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(N,),
+        grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                 # cube in HBM
-            pl.BlockSpec((1, h, w), lambda i, r0s_, c0s_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),            # cube stays in HBM
+            pl.BlockSpec((GROUP, hp, wp), lambda g, r0s_, c0s_: (g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, T), lambda i, r0s_, c0s_: (i, 0)),
+        out_specs=pl.BlockSpec((GROUP, T), lambda g, r0s_, c0s_: (g, 0)),
         scratch_shapes=[
-            pltpu.VMEM((T, h, w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, GROUP, T_CHUNK, hp, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
         ],
     )
 
@@ -82,5 +105,57 @@ def pallas_extract_flux(images, masks, r0s, c0s, h: int, w: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, T), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(r0s, jnp.int32), jnp.asarray(c0s, jnp.int32),
-      jnp.asarray(images, jnp.float32), jnp.asarray(masks))
+    )(r0s, c0s, images, masks)
+
+
+def _realign(masks, offs, size: int, padded: int, aligned_offs, axis: int):
+    """Shift masks so content lines up with tile-aligned window corners."""
+    N = masks.shape[0]
+    d = (offs - aligned_offs).reshape((N,) + (1,) * (masks.ndim - 1))
+    idx = jnp.arange(padded)
+    idx = idx.reshape((1, padded, 1) if axis == 1 else (1, 1, padded)) - d
+    valid = (idx >= 0) & (idx < size)
+    idx = jnp.clip(idx, 0, size - 1)
+    pad_width = [(0, 0), (0, 0), (0, 0)]
+    pad_width[axis] = (0, padded - size)
+    mp = jnp.pad(masks, pad_width)
+    shape = list(mp.shape)
+    idx_b = jnp.broadcast_to(idx, (N,) + tuple(shape[1:]))
+    out = jnp.take_along_axis(mp, idx_b, axis=axis)
+    return out & jnp.broadcast_to(valid, out.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def pallas_extract_flux(images, masks, r0s, c0s, h: int, w: int,
+                        interpret: bool = False):
+    """Masked stamp sums: (T, H, W) cube x (N, h, w) masks -> (N, T) fluxes.
+
+    NaNs in the cube are treated as missing (excluded from the sums); frames
+    whose in-mask pixels are all missing yield NaN, matching the XLA path.
+    T must be a multiple of T_CHUNK (pad the cube or pick T accordingly).
+    """
+    T, H, W = images.shape
+    N = masks.shape[0]
+    hp = -(-(h + 7) // 8) * 8
+    wp = -(-(w + 127) // 128) * 128
+    if hp > H or wp > W:
+        raise ValueError("padded stamp window exceeds image size")
+    if T % T_CHUNK:
+        raise ValueError(f"T must be a multiple of {T_CHUNK}")
+    r0s = jnp.asarray(r0s, jnp.int32)
+    c0s = jnp.asarray(c0s, jnp.int32)
+    masks = jnp.asarray(masks)
+
+    r0a = jnp.minimum((r0s // 8) * 8, H - hp)
+    c0a = jnp.minimum((c0s // 128) * 128, W - wp)
+    masks = _realign(masks, r0s, h, hp, r0a, axis=1)
+    masks = _realign(masks, c0s, w, wp, c0a, axis=2)
+
+    pad = (-N) % GROUP
+    if pad:
+        masks = jnp.concatenate([masks, jnp.zeros((pad,) + masks.shape[1:], masks.dtype)])
+        r0a = jnp.concatenate([r0a, jnp.zeros(pad, jnp.int32)])
+        c0a = jnp.concatenate([c0a, jnp.zeros(pad, jnp.int32)])
+    out = _pallas_extract_padded(jnp.asarray(images, jnp.float32), masks,
+                                 r0a, c0a, hp, wp, interpret)
+    return out[:N]

@@ -10,7 +10,7 @@ from photometry_tpu.ops.pallas_extract import pallas_extract_flux, pallas_availa
 @pytest.mark.skipif(not pallas_available(), reason="pallas unavailable")
 def test_pallas_extract_matches_reference():
     rng = np.random.default_rng(0)
-    T, H, W = 6, 64, 64
+    T, H, W = 16, 256, 256
     N, h, w = 5, 8, 8
     images = rng.normal(100, 5, (T, H, W)).astype(np.float32)
     images[2, 10, 10] = np.nan
