@@ -385,6 +385,37 @@ def _extract_flux_batch(images, images_err, backgrounds, pixelflags,
     return (flux.T, ferr.T, bsum.T, jnp.transpose(cent, (1, 0, 2)), shen.T)
 
 
+def _extract_flux_streamed(ctx, masks, r0s, c0s, h: int, w: int,
+                           chunk: int = 128):
+    """T-chunked extraction for host-resident cubes (``cache='host'``).
+
+    A full sector cube (e.g. 1300 x 2048 x 2048 x 3 quantities ~ 65 GB)
+    exceeds single-chip HBM; this path streams fixed-size time chunks
+    through the jitted kernel (padded so only one program is compiled) and
+    stitches the results.  Multi-chip time-sharding (parallel.sharded) is
+    the scale-out alternative.
+    """
+    T = ctx.n_times
+    outs = []
+    for t0 in range(0, T, chunk):
+        t1 = min(t0 + chunk, T)
+        n = t1 - t0
+        def block(arr, fill=np.nan, dtype=np.float32):
+            b = np.asarray(arr[t0:t1])
+            if n < chunk:
+                pad = np.full((chunk - n,) + b.shape[1:], fill, dtype=b.dtype)
+                b = np.concatenate([b, pad])
+            return jnp.asarray(b)
+        out = _extract_flux_batch(block(ctx.images), block(ctx.images_err),
+                                  block(ctx.backgrounds),
+                                  block(ctx.pixelflags, fill=0),
+                                  masks, r0s, c0s, h, w)
+        outs.append(tuple(np.asarray(o)[:, :n] if o.ndim == 2
+                          else np.asarray(o)[:, :n] for o in out))
+    return tuple(np.concatenate([o[i] for o in outs], axis=1)
+                 for i in range(5))
+
+
 def _stamp_catalog(cat_all: dict, wcs, r0, r1, c0, c1, offset_rc=(0, 0),
                    max_stars: int = 48, buffer_px: float = 5.0):
     """Catalog stars within one stamp (+buffer), in stamp coordinates.
@@ -647,9 +678,15 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             masks_f[i, dr:dr + m.shape[0], dc:dc + m.shape[1]] = m
             r0s[i] = r0
             c0s[i] = c0
-        flux, ferr, fbkg, cent, shen = _extract_flux_batch(
-            ctx.images, ctx.images_err, ctx.backgrounds, ctx.pixelflags,
-            jnp.asarray(masks_f), jnp.asarray(r0s), jnp.asarray(c0s), bh, bw)
+        if isinstance(ctx.images, np.ndarray):
+            # Host-resident cube: stream time chunks through the device.
+            flux, ferr, fbkg, cent, shen = _extract_flux_streamed(
+                ctx, jnp.asarray(masks_f), jnp.asarray(r0s), jnp.asarray(c0s),
+                bh, bw)
+        else:
+            flux, ferr, fbkg, cent, shen = _extract_flux_batch(
+                ctx.images, ctx.images_err, ctx.backgrounds, ctx.pixelflags,
+                jnp.asarray(masks_f), jnp.asarray(r0s), jnp.asarray(c0s), bh, bw)
         flux = np.asarray(flux)
         ferr = np.asarray(ferr)
         fbkg = np.asarray(fbkg)
