@@ -1,0 +1,46 @@
+"""
+CLI: render diagnostic movies of prepared cubes (counterpart of run_ffimovie.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .common import add_logging_args, resolve_input_folder, setup_logging
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Make diagnostic movies of image cubes.")
+    add_logging_args(parser)
+    parser.add_argument("--dataset", default="images",
+                        choices=("images", "backgrounds", "pixelflags"))
+    parser.add_argument("--fps", type=int, default=10)
+    parser.add_argument("--frames", type=int, default=None, help="Limit frame count.")
+    parser.add_argument("--format", dest="fmt", default="gif", choices=("gif", "png"))
+    parser.add_argument("--sector", type=int, default=None, action="append")
+    parser.add_argument("--camera", type=int, default=None, action="append")
+    parser.add_argument("--ccd", type=int, default=None, action="append")
+    parser.add_argument("input_folder", nargs="?", default=None)
+    args = parser.parse_args(argv)
+    setup_logging(args)
+    input_folder = resolve_input_folder(args.input_folder)
+
+    from ..io import discovery
+    from ..movie import make_movie
+    cubes = discovery.find_cube_files(
+        input_folder,
+        sector=args.sector[0] if args.sector else None,
+        camera=args.camera if args.camera else None,
+        ccd=args.ccd if args.ccd else None)
+    if not cubes:
+        print("No cube files found.", file=sys.stderr)
+        return 1
+    for cube in cubes:
+        print(make_movie(cube, dataset=args.dataset, fps=args.fps,
+                         max_frames=args.frames, fmt=args.fmt))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

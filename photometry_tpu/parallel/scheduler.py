@@ -71,12 +71,18 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
         results = []
         ctx = None
         try:
-            ctx = open_context(input_folder, batch[0])
-            out = photometry_batch(ctx, batch, output_folder=output_folder,
-                                   version=version)
+            from ..utils.profiling import StageTimer
+            timer = StageTimer()
+            with timer.stage("context"):
+                ctx = open_context(input_folder, batch[0])
+            with timer.stage("photometry"):
+                out = photometry_batch(ctx, batch, output_folder=output_folder,
+                                       version=version)
             elap = (default_timer() - tic) / max(len(batch), 1)
             results = [_result_to_dict(t, r, elap, worker_wait_time)
                        for t, r in zip(batch, out)]
+            if results:
+                results[-1]["details"].update(timer.as_details())
         except Exception:
             tb = traceback.format_exc().strip()
             elap = (default_timer() - tic) / max(len(batch), 1)

@@ -1,0 +1,112 @@
+"""Focused K2P2 behavior tests: thresholds, saturated columns, fallbacks."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from photometry_tpu.models.k2p2 import build_mask, K2P2Params
+
+
+def _call(sumimage, stars, target_idx=0, params=K2P2Params(), collected=None):
+    """stars: list of (row, col, tmag)."""
+    K = max(len(stars), 4)
+    cat_col = np.full(K, 1e9, np.float32)
+    cat_row = np.full(K, 1e9, np.float32)
+    cat_tmag = np.full(K, 30.0, np.float32)
+    cat_valid = np.zeros(K, bool)
+    cat_sid = np.zeros(K, np.int64)
+    for i, (r, c, m) in enumerate(stars):
+        cat_row[i], cat_col[i], cat_tmag[i] = r, c, m
+        cat_valid[i] = True
+        cat_sid[i] = i + 1
+    tr, tc, tm = stars[target_idx]
+    out = build_mask(jnp.asarray(sumimage, jnp.float32), jnp.asarray(cat_col),
+                     jnp.asarray(cat_row), jnp.asarray(cat_tmag),
+                     jnp.asarray(cat_sid), jnp.asarray(cat_valid),
+                     jnp.float32(tr), jnp.float32(tc), jnp.float32(tm),
+                     None if collected is None else jnp.asarray(collected),
+                     params)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _gauss_star(img, r, c, flux, sigma=1.2):
+    H, W = img.shape
+    yy, xx = np.mgrid[0:H, 0:W]
+    img += flux * np.exp(-0.5 * ((yy - r) ** 2 + (xx - c) ** 2) / sigma ** 2) \
+        / (2 * np.pi * sigma ** 2)
+
+
+def test_basic_mask_found():
+    rng = np.random.default_rng(0)
+    img = rng.normal(0, 0.3, (21, 21))
+    _gauss_star(img, 10, 10, 5000)
+    out = _call(img, [(10.0, 10.0, 9.0)])
+    assert out["found_mask"]
+    assert out["mask"][10, 10]
+    assert 8 <= out["mask_size"] <= 100
+    assert not out["no_flux"]
+    assert out["in_mask"][0]
+
+
+def test_minimum_aperture_fallback_when_no_flux():
+    rng = np.random.default_rng(1)
+    img = rng.normal(0, 0.3, (15, 15))  # no star
+    out = _call(img, [(7.0, 7.0, 14.0)])
+    # Either no mask found -> 2x2-ish minimum aperture around the target:
+    if not out["found_mask"]:
+        assert 1 <= out["mask_size"] <= 9
+        assert out["mask"][7, 7]
+
+
+def test_saturated_column_extension():
+    """A bright star with a flat-topped bleed column gets the column added."""
+    rng = np.random.default_rng(2)
+    img = rng.normal(0, 0.5, (31, 31)).astype(np.float64)
+    _gauss_star(img, 15, 15, 3e6)  # very bright (tmag ~ 4.5)
+    # Saturated bleed: clamp the core column to a flat level over many rows:
+    img[5:27, 15] = 50000.0
+    out_ext = _call(img, [(15.0, 15.0, 4.5)],
+                    params=K2P2Params(extend_overflow=True))
+    out_no = _call(img, [(15.0, 15.0, 4.5)],
+                   params=K2P2Params(extend_overflow=False))
+    assert out_ext["found_mask"] and out_no["found_mask"]
+    # The extension must add the bleed rows of column 15:
+    assert out_ext["mask"][:, 15].sum() >= out_no["mask"][:, 15].sum()
+    assert out_ext["mask"][6, 15] and out_ext["mask"][26, 15]
+
+
+def test_overflow_gated_on_brightness():
+    """Faint targets (combined mag > 7) never get overflow extension:
+    the mask is identical whether or not extension is enabled."""
+    rng = np.random.default_rng(3)
+    img = rng.normal(0, 0.5, (31, 31))
+    _gauss_star(img, 15, 15, 2000)
+    img[12:19, 15] = 400.0  # small flat-topped core (tmag 12 -> gate closed)
+    out_ext = _call(img, [(15.0, 15.0, 12.0)],
+                    params=K2P2Params(extend_overflow=True))
+    out_no = _call(img, [(15.0, 15.0, 12.0)],
+                   params=K2P2Params(extend_overflow=False))
+    np.testing.assert_array_equal(out_ext["mask"], out_no["mask"])
+
+
+def test_two_stars_segmented():
+    rng = np.random.default_rng(4)
+    img = rng.normal(0, 0.3, (25, 25))
+    _gauss_star(img, 12, 8, 4000)
+    _gauss_star(img, 12, 16, 4000)
+    out_a = _call(img, [(12.0, 8.0, 10.0), (12.0, 16.0, 10.0)], target_idx=0)
+    out_b = _call(img, [(12.0, 8.0, 10.0), (12.0, 16.0, 10.0)], target_idx=1)
+    assert out_a["found_mask"] and out_b["found_mask"]
+    assert out_a["mask"][12, 8] and not out_a["mask"][12, 16]
+    assert out_b["mask"][12, 16] and not out_b["mask"][12, 8]
+    # Each star's mask excludes the other -> in_mask reflects that:
+    assert out_a["in_mask"][0] and not out_a["in_mask"][1]
+
+
+def test_edge_flags():
+    rng = np.random.default_rng(5)
+    img = rng.normal(0, 0.3, (17, 17))
+    _gauss_star(img, 2, 8, 5000)  # near the bottom edge
+    out = _call(img, [(2.0, 8.0, 9.0)])
+    assert out["edge"][0]  # bottom edge touched
+    assert not out["edge"][1]
