@@ -284,6 +284,12 @@ class TaskManager:
         head = self.get_task(**kwargs)
         if head is None:
             return []
+        if head["datasource"] == "tpf":
+            # Each TPF *primary* target has its own pixel file (its own data
+            # context), so primaries cannot share a batch. Secondary targets
+            # ('tpf:NNN') share the primary's file and group by their exact
+            # datasource below.
+            return [head]
         c = build_constraints(**kwargs)
         rows = self.cursor.execute(
             f"SELECT {_TASK_COLUMNS} FROM todolist WHERE status IS NULL" + c
