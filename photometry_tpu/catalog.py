@@ -169,6 +169,38 @@ def query_footprint(cursor, footprint: np.ndarray, columns: str = "*",
     return cursor.fetchall()
 
 
+def download_catalogs(input_folder: str, sector: int, camera=None, ccd=None) -> list:
+    """Fetch prebuilt catalog SQLite files when not already present.
+
+    Counterpart of reference catalog.py:338-388 (tasoc.dk fetch): the source
+    URL template comes from ``PHOTOMETRY_TPU_CATALOG_URL`` (placeholders
+    ``{sector}``, ``{camera}``, ``{ccd}``). Without a source configured,
+    existing files are returned and missing ones are simply reported — this
+    environment has no egress, so catalogs normally come from
+    :func:`make_catalog` or the simulator.
+    """
+    import logging
+    logger = logging.getLogger(__name__)
+    cameras = [1, 2, 3, 4] if camera is None else list(np.atleast_1d(camera))
+    ccds = [1, 2, 3, 4] if ccd is None else list(np.atleast_1d(ccd))
+    url_tpl = os.environ.get("PHOTOMETRY_TPU_CATALOG_URL")
+    out = []
+    for cam in cameras:
+        for c in ccds:
+            path = os.path.join(input_folder, catalog_filename(sector, cam, c))
+            if os.path.exists(path):
+                out.append(path)
+                continue
+            if url_tpl:
+                from .utils.downloads import download_file
+                url = url_tpl.format(sector=sector, camera=cam, ccd=c)
+                out.append(download_file(url, path))
+            else:
+                logger.info("No catalog for sector=%d camera=%d ccd=%d and no "
+                            "download source configured.", sector, cam, c)
+    return out
+
+
 def make_catalog(input_folder: str, sector: int, camera: int, ccd: int,
                  tic_source: Optional[str] = None, overwrite: bool = False,
                  **kw) -> str:

@@ -20,8 +20,18 @@ def add_logging_args(parser: argparse.ArgumentParser):
 def enable_compile_cache():
     """Persistent XLA compilation cache: first-compile costs are paid once
     per program *shape*, not once per process — essential for a fleet of
-    short-lived workers."""
+    short-lived workers.
+
+    Only enabled for accelerator backends: CPU AOT artifacts bake in the
+    compiling machine's feature set, and loading them on a different host
+    risks SIGILL (observed with a remote compile service in the cache path).
+    """
     import jax
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:  # pragma: no cover
+        return
     cache = os.environ.get("PHOTOMETRY_TPU_COMPILE_CACHE",
                            os.path.join(os.path.expanduser("~"),
                                         ".photometry_tpu", "jax_cache"))
