@@ -513,6 +513,18 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
     def clip_stamp(s):
         return [int(max(s[0], 0)), int(min(s[1], H)), int(max(s[2], 0)), int(min(s[3], W))]
 
+    # Quantized stamp-bucket ladder: batches re-use a small set of program
+    # shapes, so the jit cache stays warm across batches/rounds (the
+    # TaskManager's tmag-sorted leases keep batches homogeneous, so the
+    # padding waste of a shared bucket is small).
+    _LADDER = (17, 25, 33, 49, 65, 97, 129, 161, 225, 337, 513, 769, 1025)
+
+    def _bucket(n: int, limit: int) -> int:
+        for b in _LADDER:
+            if b >= n:
+                return min(b, limit)
+        return min(n, limit)
+
     # --- retry rounds -------------------------------------------------------
     for rnd in range(max(t["max_retries"] for t in targets)):
         active = [t for t in targets if not t["done"] and t["resizes"] <= t["max_retries"]]
@@ -520,10 +532,8 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             break
         # Common padded bucket for this round:
         hs = [clip_stamp(t["stamp"]) for t in active]
-        bh = max(s[1] - s[0] for s in hs)
-        bw = max(s[3] - s[2] for s in hs)
-        bh = min(-(-bh // 8) * 8 + 1, H)
-        bw = min(-(-bw // 8) * 8 + 1, W)
+        bh = _bucket(max(s[1] - s[0] for s in hs), H)
+        bw = _bucket(max(s[3] - s[2] for s in hs), W)
 
         r0s, c0s, cats, sums, colls, trs, tcs, tts = [], [], [], [], [], [], [], []
         for t, s in zip(active, hs):

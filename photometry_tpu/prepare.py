@@ -36,6 +36,7 @@ from .catalog import catalog_filename
 from .fixes import time_offset
 from .io import discovery
 from .io.cube import ImageCube, cube_filename
+from .io.loader import iter_frames
 from .io.settings import sector_info
 from .io.tess import read_ffi
 from .core.pixelflags import manual_exclude_mask, shenanigans_residual
@@ -131,12 +132,13 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
     if not cube.is_done("backgrounds"):
         logger.info("Fitting backgrounds for %d frames...", T)
         raw_bkg = np.empty((T, H, W), np.float32)
+        frames = iter_frames(files)
         for t0 in range(0, T, chunk):
             t1 = min(t0 + chunk, T)
             stack = np.empty((t1 - t0, H, W), np.float32)
             manex = np.zeros((t1 - t0, H, W), bool)
-            for i, k in enumerate(range(t0, t1)):
-                frame = read_ffi(files[k])
+            for i in range(t1 - t0):
+                frame = next(frames)
                 stack[i] = frame.data
                 manex[i] = manual_exclude_mask(frame.data, frame.header, frame.is_tess)
             bkg, mask_used = estimate_background(
@@ -175,12 +177,13 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
         n_img = np.zeros((H, W), np.int32)
         used_in_bkg = np.zeros((H, W), np.int64)
 
+        frames = iter_frames(files)
         for t0 in range(0, T, chunk):
             t1 = min(t0 + chunk, T)
             bkg = cube.backgrounds(t0, t1)
             flags = cube.pixelflags(t0, t1)
             for i, k in enumerate(range(t0, t1)):
-                frame = read_ffi(files[k])
+                frame = next(frames)
                 hdr = frame.header
                 time_start[k] = hdr["TSTART"]
                 time_stop[k] = hdr["TSTOP"]
