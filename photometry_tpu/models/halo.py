@@ -244,8 +244,9 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER, **_kw) -> list:
             "HALO_OBJ": ("tv", "Halo objective function"),
             "HALO_MXI": (maxiter, "Halo max optimisation iterations"),
         }
+        t_i, tc_i = ctx.corrected_time(tgt["ra"], tgt["decl"])
         lc = {
-            "time": ctx.time, "timecorr": ctx.timecorr,
+            "time": t_i, "timecorr": tc_i,
             "cadenceno": ctx.cadenceno, "quality": ctx.quality,
             "flux": flux_out, "flux_err": flux_err_out,
             "flux_background": np.full(T, np.nan),

@@ -133,8 +133,9 @@ def extract_linpsf_batch(ctx, starids, prf=None, **_kw) -> list:
             status = STATUS.ERROR
             details["errors"] = ["Final lightcurve fluxes are all NaNs"]
 
+        t_i, tc_i = ctx.corrected_time(setup.target["ra"], setup.target["decl"])
         lc = {
-            "time": ctx.time, "timecorr": ctx.timecorr,
+            "time": t_i, "timecorr": tc_i,
             "cadenceno": ctx.cadenceno, "quality": ctx.quality,
             "flux": flux, "flux_err": flux_err, "flux_background": fbkg,
             "pos_centroid": pos,

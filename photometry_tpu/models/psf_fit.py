@@ -225,8 +225,9 @@ def extract_psf_batch(ctx, starids, lhood_stat: str = "Gaussian_d",
         jit_t = ctx.motion.jitter_batch(ctx.time - ctx.timecorr,
                                         [setup.target_col + s[2]],
                                         [setup.target_row + s[0]])[:, 0, :]
+        t_i, tc_i = ctx.corrected_time(setup.target["ra"], setup.target["decl"])
         lc = {
-            "time": ctx.time, "timecorr": ctx.timecorr,
+            "time": t_i, "timecorr": tc_i,
             "cadenceno": ctx.cadenceno, "quality": ctx.quality,
             "flux": flux, "flux_err": flux_err, "flux_background": fbkg,
             "pos_centroid": cent, "pos_corr": jit_t,

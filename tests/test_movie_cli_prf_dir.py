@@ -1,0 +1,70 @@
+"""Tests: movie CLI, PRF directory-layout loading, iter_frames loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from photometry_tpu.sim.simulator import SimConfig, simulate_sector
+
+
+@pytest.fixture(scope="module")
+def prepared(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mcli"))
+    sim = simulate_sector(SimConfig(shape=(64, 64), n_times=5, n_stars=8, seed=77))
+    sim.write_ffis(d)
+    sim.write_catalog(d)
+    from photometry_tpu.prepare import prepare_photometry
+    prepare_photometry(d)
+    return sim, d
+
+
+def test_movie_cli(prepared, tmp_path):
+    sim, d = prepared
+    from photometry_tpu.cli import movie_cmd
+    assert movie_cmd.main(["-q", "--frames", "2", d]) == 0
+    import glob
+    assert glob.glob(os.path.join(d, "*images.gif"))
+    # no cubes found -> exit 1:
+    assert movie_cmd.main(["-q", str(tmp_path)]) == 1
+
+
+def test_prf_directory_layout(tmp_path):
+    """context_prf finds PRF .mat files laid out like the reference data dir."""
+    from photometry_tpu.models.prf import PRF
+    oversample, radius = 9, 8.0
+    n = int(radius * oversample)
+    offs = np.arange(-n, n + 1) / oversample
+    g = np.exp(-0.5 * (offs[:, None] ** 2 + offs[None, :] ** 2) / 1.1 ** 2)
+    g /= g.sum() * (1 / oversample) ** 2
+    subdir = tmp_path / "start_s0001"
+    subdir.mkdir()
+    PRF.write_mat(str(subdir / "tess2018-3-2-characterized-prf.mat"),
+                  [g], ccd_columns=[1024.0], ccd_rows=[1024.0])
+    prf = PRF.from_mat(str(tmp_path), sector=1, camera=3, ccd=2, stamp=(0, 15, 0, 15))
+    img = np.asarray(prf.integrate_to_image(np.array([[7.0, 7.0, 100.0]]),
+                                            (15, 15), cutoff_radius=None))
+    assert img.sum() == pytest.approx(100.0, rel=0.01)
+    # Missing camera/ccd -> FileNotFoundError:
+    with pytest.raises(FileNotFoundError):
+        PRF.from_mat(str(tmp_path), sector=1, camera=1, ccd=1, stamp=(0, 15, 0, 15))
+    # Sector >= 4 uses the other epoch directory:
+    with pytest.raises(FileNotFoundError):
+        PRF.from_mat(str(tmp_path), sector=5, camera=3, ccd=2, stamp=(0, 15, 0, 15))
+
+
+def test_iter_frames_order_and_content(prepared):
+    sim, d = prepared
+    from photometry_tpu.io.discovery import find_ffi_files
+    from photometry_tpu.io.loader import iter_frames
+    from photometry_tpu.io.tess import read_ffi
+    files = find_ffi_files(d)
+    frames = list(iter_frames(files, workers=3, prefetch=2))
+    assert len(frames) == len(files)
+    for f, path in zip(frames, files):
+        direct = read_ffi(path)
+        np.testing.assert_array_equal(f.data, direct.data)
+        assert f.cadenceno == direct.cadenceno
+    # workers=1 falls back to the sequential path:
+    seq = list(iter_frames(files, workers=1))
+    assert len(seq) == len(files)
