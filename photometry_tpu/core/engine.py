@@ -87,11 +87,16 @@ class SectorContext:
 
     def __init__(self, input_folder: str, sector: int, camera: int, ccd: int,
                  cache: str = "device", motion_mode: str = "wcs",
-                 time_corrector=None):
+                 time_corrector=None, cube_dtype=None):
         #: Optional core.timecorr.TimeCorrector for per-target barycentric
         #: corrections (recomputed per star position, like
         #: BasePhotometry.py:443-453; None keeps the cube's frame-level values).
         self.time_corrector = time_corrector
+        #: Device dtype for the image cubes. ``jnp.bfloat16`` halves HBM
+        #: residency and read bandwidth (sums still accumulate in float32);
+        #: at ~0.4% per-pixel quantisation it is a *preview-quality* mode —
+        #: keep float32 (default) for science products.
+        self.cube_dtype = cube_dtype
         self.input_folder = input_folder
         self.sector = sector
         self.camera = camera
@@ -135,9 +140,10 @@ class SectorContext:
         bkgs = cube.backgrounds()
         pixf = cube.pixelflags()
         if cache == "device":
-            self.images = jnp.asarray(imgs)
-            self.images_err = jnp.asarray(errs)
-            self.backgrounds = jnp.asarray(bkgs)
+            dt = self.cube_dtype
+            self.images = jnp.asarray(imgs, dtype=dt)
+            self.images_err = jnp.asarray(errs, dtype=dt)
+            self.backgrounds = jnp.asarray(bkgs, dtype=dt)
             self.pixelflags = jnp.asarray(pixf)
         else:
             self.images, self.images_err = imgs, errs
@@ -350,9 +356,12 @@ def _extract_flux_batch(images, images_err, backgrounds, pixelflags,
     ridx = rows[:, :, None]                                    # (N, h, 1)
     cidx = cols[:, None, :]                                    # (N, 1, w)
 
-    st = images[:, ridx, cidx]                                 # (T, N, h, w)
-    se = images_err[:, ridx, cidx]
-    sb = backgrounds[:, ridx, cidx]
+    # Gathers read the cubes at their stored dtype (bf16 halves the HBM
+    # traffic when SectorContext(cube_dtype=bfloat16)); all arithmetic below
+    # accumulates in float32:
+    st = images[:, ridx, cidx].astype(jnp.float32)             # (T, N, h, w)
+    se = images_err[:, ridx, cidx].astype(jnp.float32)
+    sb = backgrounds[:, ridx, cidx].astype(jnp.float32)
     sf = pixelflags[:, ridx, cidx]
 
     m = masks[None]                                            # (1, N, h, w)

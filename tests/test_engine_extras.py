@@ -74,3 +74,22 @@ def test_halo_autoswitch_for_bright_leaky_target(tmp_path):
     if res.method == "halo":
         assert any("halo" in e.lower() for e in res.details.get("errors", []))
     ctx.close()
+
+
+def test_bf16_cube_mode(data_dir):
+    """bfloat16 cube residency: preview-quality fluxes within ~0.2% of f32."""
+    import jax.numpy as jnp
+    sim, d = data_dir
+    sids = [int(s) for s in sim.starid[:4]]
+    ctx32 = SectorContext(d, 1, 3, 2)
+    ctx16 = SectorContext(d, 1, 3, 2, cube_dtype=jnp.bfloat16)
+    assert ctx16.images.dtype == jnp.bfloat16
+    r32 = extract_aperture_batch(ctx32, sids)
+    r16 = extract_aperture_batch(ctx16, sids)
+    for a, b in zip(r32, r16):
+        if a.status not in (STATUS.OK, STATUS.WARNING):
+            continue
+        rel = np.nanmax(np.abs(b.lightcurve["flux"] / a.lightcurve["flux"] - 1))
+        assert rel < 2e-3
+    ctx32.close()
+    ctx16.close()
