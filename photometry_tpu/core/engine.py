@@ -45,7 +45,7 @@ from .status import STATUS
 logger = logging.getLogger(__name__)
 
 __all__ = ["SectorContext", "TpfContext", "TargetResult", "extract_aperture_batch",
-           "default_stamp_size"]
+           "extract_flux_core", "default_stamp_size"]
 
 #: Tmag -> default stamp size lookup (public TASOC calibration tables,
 #: reference BasePhotometry.py:541-556).
@@ -336,9 +336,8 @@ def _gather_stamps_image(image, r0s, c0s, h: int, w: int):
     return jax.vmap(one)(r0s, c0s)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"))
-def _extract_flux_batch(images, images_err, backgrounds, pixelflags,
-                        masks, r0s, c0s, h: int, w: int):
+def extract_flux_core(images, images_err, backgrounds, pixelflags,
+                      masks, r0s, c0s, h: int, w: int):
     """Aperture sums for all targets and cadences in one program.
 
     images: (T, H, W); masks: (N, h, w); r0s/c0s: (N,) stamp corners.
@@ -349,6 +348,11 @@ def _extract_flux_batch(images, images_err, backgrounds, pixelflags,
     einsum reductions: nested vmapped ``dynamic_slice``s compile in minutes
     at full sector scale, while this compiles in seconds and runs at HBM
     bandwidth (the cubes stay resident; only stamp bytes are touched).
+
+    Every output element depends on exactly one (target, cadence) pair, so
+    the same function body runs unchanged as the per-shard program of the
+    multi-chip extraction (parallel.sharded.sharded_extract_flux) with
+    bitwise-identical results.
     """
     N = masks.shape[0]
     rows = r0s[:, None] + jnp.arange(h)[None, :]               # (N, h)
@@ -392,6 +396,10 @@ def _extract_flux_batch(images, images_err, backgrounds, pixelflags,
 
     # transpose to (N, T) layout expected by callers:
     return (flux.T, ferr.T, bsum.T, jnp.transpose(cent, (1, 0, 2)), shen.T)
+
+
+_extract_flux_batch = functools.partial(
+    jax.jit, static_argnames=("h", "w"))(extract_flux_core)
 
 
 def _extract_flux_streamed(ctx, masks, r0s, c0s, h: int, w: int,

@@ -7,6 +7,12 @@ cadence exceeds single-chip HBM — SURVEY §7 "hard parts" #7); targets shard
 across the orthogonal mesh axis.  XLA inserts the collectives from the
 shardings; the only hand-written communication is the ``ppermute`` halo
 exchange for the background time-smoothing window.
+
+The extraction runs the *same* dense-gather program as the single-chip
+production engine (core.engine.extract_flux_core) as the per-shard body of
+a ``shard_map`` — every output element depends on exactly one
+(target, cadence) pair, so time x target sharding is exact (bitwise equal
+to the single-device result; asserted in tests/test_parallel.py).
 """
 
 from __future__ import annotations
@@ -15,12 +21,30 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .mesh import TIME_AXIS, TARGET_AXIS, cube_sharding, replicated
+from .mesh import TIME_AXIS, TARGET_AXIS, cube_sharding, targets_sharding
 
 __all__ = ["sharded_time_smooth", "sharded_sumimage", "sharded_extract_flux",
-           "prepare_step", "extraction_step"]
+           "prepare_step", "extraction_step", "pad_to_multiple"]
+
+
+def pad_to_multiple(arr, axis: int, multiple: int, fill=np.nan):
+    """Pad ``arr`` along ``axis`` up to the next multiple (host-side).
+
+    Returns (padded, original_size).  Sharded programs need every sharded
+    axis divisible by its mesh-axis size; callers slice the outputs back.
+    """
+    arr = np.asarray(arr)
+    n = arr.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr, n
+    pad_shape = list(arr.shape)
+    pad_shape[axis] = rem
+    pad = np.full(pad_shape, fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=axis), n
 
 
 def sharded_time_smooth(bkg, mesh, window: int = 3):
@@ -80,32 +104,41 @@ def sharded_sumimage(images, quality_good, mesh):
     return fn(images, quality_good)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"), donate_argnums=())
-def _flux_kernel(images, masks, r0s, c0s, h, w):
-    def per_target(mask, r0, c0):
-        def per_frame(img):
-            st = jax.lax.dynamic_slice(img, (r0, c0), (h, w))
-            vals = jnp.where(mask, st, jnp.nan)
-            ok = jnp.isfinite(vals)
-            return jnp.where(jnp.any(ok), jnp.nansum(jnp.where(ok, vals, 0.0)), jnp.nan)
-        return jax.vmap(per_frame)(images)
-    return jax.vmap(per_target)(masks, r0s, c0s)
+def sharded_extract_flux(images, images_err, backgrounds, pixelflags,
+                         masks, r0s, c0s, mesh, h: int, w: int):
+    """Production aperture extraction over a (time x targets) mesh.
 
+    Runs core.engine.extract_flux_core — the dense-gather formulation that
+    replaces the reference's per-frame HDF5 reads (BasePhotometry.py:720-751,
+    1323-1414) — as the per-shard program of a ``shard_map``: each
+    (time-shard, target-shard) device computes its (N_local, T_local) output
+    block with zero communication.
 
-def sharded_extract_flux(images, masks, r0s, c0s, mesh, h: int, w: int):
-    """Aperture sums with time-sharded images x target-sharded masks.
-
-    Output (N, T) is sharded over both mesh axes; XLA handles the data
-    movement (each (targets-shard, time-shard) pair computes its block).
+    Inputs may be host numpy; they are placed with explicit mesh shardings
+    (cubes time-sharded, masks/corners target-sharded).  T must divide by the
+    time-axis size and N by the target-axis size (see :func:`pad_to_multiple`).
+    Returns (flux, flux_err, flux_bkg, centroid, shenanigans) with (N, T)
+    leading layout, sharded P(targets, time).
     """
-    images = jax.device_put(images, cube_sharding(mesh))
-    masks = jax.device_put(masks, NamedSharding(mesh, P(TARGET_AXIS, None, None)))
-    r0s = jax.device_put(r0s, NamedSharding(mesh, P(TARGET_AXIS)))
-    c0s = jax.device_put(c0s, NamedSharding(mesh, P(TARGET_AXIS)))
-    out_sharding = NamedSharding(mesh, P(TARGET_AXIS, TIME_AXIS))
-    fn = jax.jit(functools.partial(_flux_kernel, h=h, w=w),
-                 out_shardings=out_sharding)
-    return fn(images, masks, r0s, c0s)
+    from ..core.engine import extract_flux_core
+
+    cs = cube_sharding(mesh)
+    images = jax.device_put(images, cs)
+    images_err = jax.device_put(images_err, cs)
+    backgrounds = jax.device_put(backgrounds, cs)
+    pixelflags = jax.device_put(pixelflags, cs)
+    masks = jax.device_put(masks, targets_sharding(mesh, 3))
+    r0s = jax.device_put(np.asarray(r0s, np.int32), targets_sharding(mesh, 1))
+    c0s = jax.device_put(np.asarray(c0s, np.int32), targets_sharding(mesh, 1))
+
+    body = jax.shard_map(
+        functools.partial(extract_flux_core, h=h, w=w), mesh=mesh,
+        in_specs=(P(TIME_AXIS, None, None),) * 4
+                 + (P(TARGET_AXIS, None, None), P(TARGET_AXIS), P(TARGET_AXIS)),
+        out_specs=(P(TARGET_AXIS, TIME_AXIS),) * 3
+                  + (P(TARGET_AXIS, TIME_AXIS, None), P(TARGET_AXIS, TIME_AXIS)))
+    return jax.jit(body)(images, images_err, backgrounds, pixelflags,
+                         masks, r0s, c0s)
 
 
 def prepare_step(images, quality, mesh, tile: int = 16, window: int = 3):
@@ -120,17 +153,28 @@ def prepare_step(images, quality, mesh, tile: int = 16, window: int = 3):
     bkg, _mask = estimate_background(images, tile=tile)
     bkg_s = sharded_time_smooth(bkg, mesh, window=window)
     sub = images - bkg_s
-    good = jax.device_put(quality == 0, NamedSharding(mesh, P(TIME_AXIS)))
+    good = jax.device_put(np.asarray(quality) == 0,
+                          NamedSharding(mesh, P(TIME_AXIS)))
     s = sharded_sumimage(sub, good, mesh)
     return sub, bkg_s, s
 
 
-def extraction_step(images, sumimage, masks, r0s, c0s, time, quality, mesh,
-                    h: int, w: int):
-    """One multi-chip extraction step: fluxes + metrics for a target batch."""
+def extraction_step(images, images_err, backgrounds, pixelflags,
+                    masks, r0s, c0s, time, quality, mesh, h: int, w: int):
+    """One multi-chip extraction step: full light-curve products + metrics.
+
+    Returns (lightcurves, metrics) where ``lightcurves`` carries the same
+    columns the single-chip engine produces (flux, flux_err, flux_bkg,
+    pos_centroid, shenanigans_any — BasePhotometry.py:1323-1414 outputs).
+    """
     from ..core.metrics import compute_metrics_batch
-    flux = sharded_extract_flux(images, masks, r0s, c0s, mesh, h, w)
-    ferr = jnp.sqrt(jnp.abs(flux))
-    cent = jnp.zeros(flux.shape + (2,))
+    flux, ferr, fbkg, cent, shen = sharded_extract_flux(
+        images, images_err, backgrounds, pixelflags, masks, r0s, c0s,
+        mesh, h, w)
+    rep = NamedSharding(mesh, P())
+    time = jax.device_put(np.asarray(time), rep)
+    quality = jax.device_put(np.asarray(quality), rep)
     metrics = compute_metrics_batch(time, flux, ferr, quality, cent)
-    return flux, metrics
+    lightcurves = {"flux": flux, "flux_err": ferr, "flux_bkg": fbkg,
+                   "pos_centroid": cent, "shenanigans_any": shen}
+    return lightcurves, metrics
