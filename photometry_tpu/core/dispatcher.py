@@ -16,6 +16,7 @@ keeps the reference's one-star call signature.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import traceback
@@ -30,10 +31,34 @@ from .status import STATUS
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["photometry_batch", "photometry_single", "open_context"]
+__all__ = ["photometry_batch", "photometry_single", "open_context",
+           "default_time_corrector"]
 
 _HALO_SWITCH_ERRORS = ("Too many stamp resizes.",
                        "Stamp resize hit limit. Haloswitch quick break.")
+
+
+@functools.lru_cache(maxsize=1)
+def default_time_corrector():
+    """Shared TimeCorrector from the cached spacecraft ephemeris.
+
+    Production FFI contexts recompute the barycentric correction per target
+    position (reference BasePhotometry.py:443-453 via TESS_SPICE); the
+    ephemeris comes from the download cache (URL-fetched or synthesized —
+    download_cache.load_cached_ephemeris).  Returns None when disabled in
+    settings ([timecorr] pertarget) or no ephemeris can be provisioned.
+    """
+    settings = load_settings()
+    if not settings.getboolean("timecorr", "pertarget", fallback=True):
+        return None
+    try:
+        from ..download_cache import load_cached_ephemeris
+        from .timecorr import TimeCorrector
+        return TimeCorrector(load_cached_ephemeris())
+    except Exception:
+        logger.warning("No spacecraft ephemeris available; light curves "
+                       "will carry frame-level (mid-CCD) times", exc_info=True)
+        return None
 
 
 def open_context(input_folder: str, task: dict, cache: str = "device"):
@@ -41,7 +66,8 @@ def open_context(input_folder: str, task: dict, cache: str = "device"):
     ds = task["datasource"]
     if ds == "ffi":
         return SectorContext(input_folder, int(task["sector"]),
-                             int(task["camera"]), int(task["ccd"]), cache=cache)
+                             int(task["camera"]), int(task["ccd"]), cache=cache,
+                             time_corrector=default_time_corrector())
     if ds.startswith("tpf:"):
         return TpfContext(input_folder, int(ds[4:]), sector=int(task["sector"]),
                           cadence=int(task["cadence"]))

@@ -35,6 +35,7 @@ __all__ = ["SpacecraftEphemeris", "TimeCorrector"]
 
 C_KM_PER_DAY = 299792.458 * 86400.0  #: speed of light [km/day]
 AU_KM = 149597870.7
+GM_SUN_C3_DAYS = 4.92549094764e-6 / 86400.0  #: GM_sun/c^3 [days] (Shapiro scale)
 
 
 @dataclass
@@ -132,3 +133,60 @@ class TimeCorrector:
         """(corrected_time, timecorr) for one target (BasePhotometry.py:443-453)."""
         corr = self.barycentric_correction(time_nocorr, ra, dec, btjd=btjd)
         return np.asarray(time_nocorr, np.float64) + corr, corr
+
+    # --- reference TESS_SPICE API parity (photometry/spice.py) --------------
+
+    def position_velocity(self, jd) -> tuple:
+        """(pos [km], vel [km/s]) at JD (TDB) — counterpart of
+        TESS_SPICE.position_velocity (spice.py:281-309), velocity by central
+        finite difference of the ephemeris table (dt = 60 s)."""
+        jd = np.atleast_1d(np.asarray(jd, np.float64))
+        dt = 60.0 / 86400.0
+        pos = self._interp(jd)
+        vel = (self._interp(jd + dt) - self._interp(jd - dt)) / (2 * dt * 86400.0)
+        return pos, vel
+
+    def time_coverage(self) -> tuple:
+        """(jd_first, jd_last) validity interval of the loaded ephemeris
+        (counterpart of TESS_SPICE.time_coverage, spice.py:434-471)."""
+        return float(self._t[0]), float(self._t[-1])
+
+    def sclk2jd(self, sclk, epoch_jd: float = 2457000.0, rate: float = 86400.0):
+        """Spacecraft-clock seconds -> JD (TDB) via a linear clock model.
+
+        The reference converts with the CSPICE SCLK kernel
+        (TESS_SPICE.sclk2jd, spice.py:328-346); without kernels we model the
+        clock as ``epoch_jd + sclk / rate`` — exact for a drift-free clock,
+        and the epoch/rate are overridable when a real clock solution is
+        available.
+        """
+        return epoch_jd + np.asarray(sclk, np.float64) / rate
+
+    def barycentric_correction_full(self, time_nocorr, ra, dec,
+                                    btjd: bool = True):
+        """Rømer + Shapiro correction [days] (experimental; counterpart of
+        TESS_SPICE.barycorr2's explicit delay sum, spice.py:386-431).
+
+        The Shapiro term uses -(2 GM_sun/c^3) ln(1 - cos psi) with the Sun
+        approximated at the solar-system barycentre (the offset is <0.01 AU,
+        i.e. a few-percent error on a <=20 microsecond term).  The Einstein
+        (clock) delay is part of the TDB timescale of the inputs and is not
+        re-applied.
+        """
+        t = np.asarray(time_nocorr, np.float64)
+        jd = t + 2457000.0 if btjd else t
+        pos = self._interp(jd)                                    # (T, 3)
+        ra_r = np.deg2rad(np.atleast_1d(np.asarray(ra, np.float64)))
+        dec_r = np.deg2rad(np.atleast_1d(np.asarray(dec, np.float64)))
+        n_hat = np.stack([np.cos(dec_r) * np.cos(ra_r),
+                          np.cos(dec_r) * np.sin(ra_r),
+                          np.sin(dec_r)], axis=1)                 # (N, 3)
+        romer = (n_hat @ pos.T) / C_KM_PER_DAY                    # (N, T)
+        r = np.linalg.norm(pos, axis=1)                          # (T,) sc->SSB(~Sun)
+        cos_psi = -(n_hat @ pos.T) / np.maximum(r, 1e-30)        # sc->Sun vs sc->target
+        shapiro = -2.0 * GM_SUN_C3_DAYS * np.log(
+            np.maximum(1.0 - cos_psi, 1e-12))
+        corr = romer + shapiro
+        if np.ndim(ra) == 0:
+            return corr[0]
+        return corr

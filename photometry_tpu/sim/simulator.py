@@ -128,6 +128,13 @@ class SimulatedSector:
         cfg = self.config
         paths = []
         wcs_hdr_cache = self.wcs.to_header(pf.Header())
+        # Per-frame barycentric correction at the CCD centre (SPOC writes
+        # BARYCORR per FFI; the mid-times here are barycentre-corrected, so
+        # spacecraft time = TIME - BARYCORR):
+        H, W = cfg.shape
+        ra_c, dec_c = self.wcs.pixel_to_world(W / 2, H / 2)
+        barycorr = _sim_time_corrector(self.time).barycentric_correction(
+            self.time, float(ra_c[0]), float(dec_c[0]))
         for k in range(cfg.n_times):
             datestr = f"{2018206192942 + k:013d}"
             name = (f"tess{datestr}-s{cfg.sector:04d}-{cfg.camera:d}-{cfg.ccd:d}"
@@ -144,7 +151,7 @@ class SimulatedSector:
             hdr.set("TSTART", float(self.time[k] - half_exp))
             hdr.set("TSTOP", float(self.time[k] + half_exp))
             hdr.set("EXPOSURE", cfg.exptime_eff / 86400.0)
-            hdr.set("BARYCORR", 0.0)
+            hdr.set("BARYCORR", float(barycorr[k]))
             hdr.set("FFIINDEX", int(self.cadenceno[k]))
             hdr.set("NUM_FRM", max(1, cfg.cadence // 2))
             hdr.set("CRBLKSZ", 10)
@@ -230,9 +237,15 @@ class SimulatedSector:
         pix_hdr.set("GAINA", 5.2)
         pix_hdr.set("NUM_FRM", max(1, cadence // 2))
         pix_hdr.set("NREADOUT", max(1, int(cadence // 2 * 0.8)))
+        # Per-cadence barycentric correction at the target position (SPOC
+        # TPFs carry TIMECORR; TIME is barycentre-corrected):
+        ra_t, dec_t = self.wcs.pixel_to_world(self.col_ref[idx] + 1,
+                                              self.row_ref[idx] + 1)
+        timecorr = _sim_time_corrector(t).barycentric_correction(
+            t, float(np.atleast_1d(ra_t)[0]), float(np.atleast_1d(dec_t)[0]))
         cols = {
             "TIME": t.astype(np.float64),
-            "TIMECORR": np.zeros(n_times, np.float32),
+            "TIMECORR": timecorr.astype(np.float32),
             "CADENCENO": cadno,
             "FLUX": flux,
             "FLUX_ERR": sigma,
@@ -257,6 +270,20 @@ class SimulatedSector:
             pf.BinTableHDU(cols, header=pix_hdr, name="PIXELS"),
             pf.ImageHDU(aperture, header=ap_hdr, name="APERTURE")])
         return path
+
+
+def _sim_time_corrector(time_btjd: np.ndarray):
+    """Synthetic-ephemeris TimeCorrector covering the sim time span.
+
+    Same analytic family as the download-cache ephemeris
+    (core.timecorr.SpacecraftEphemeris.synthetic), so the per-target
+    barycentric recomputation in production (BasePhotometry.py:443-453
+    counterpart) is differentially consistent with the simulated headers.
+    """
+    from ..core.timecorr import SpacecraftEphemeris, TimeCorrector
+    jd0 = 2457000.0 + float(np.min(time_btjd)) - 5.0
+    jd1 = 2457000.0 + float(np.max(time_btjd)) + 5.0
+    return TimeCorrector(SpacecraftEphemeris.synthetic(jd0, jd1))
 
 
 def _jitter_series(dt_days: np.ndarray, amp: float, seed: int):

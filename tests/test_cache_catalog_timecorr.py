@@ -24,6 +24,24 @@ def test_download_cache_offline(tmp_path, monkeypatch):
     assert download_cache() == p
 
 
+def test_download_cache_url_fetch(tmp_path, monkeypatch):
+    """The real-ephemeris acquisition path: fetch a published table by URL."""
+    src = tmp_path / "real_ephemeris.npz"
+    t = np.arange(2458300.0, 2458400.0, 0.5)
+    pos = np.stack([1.0e8 + 1e5 * t % 7, 2.0e7 + np.sin(t) * 1e5,
+                    np.cos(t) * 1e5], axis=1)
+    SpacecraftEphemeris(time=t, pos=pos).save(str(src))
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("PHOTOMETRY_TPU_CACHE", str(cache))
+    monkeypatch.setenv("PHOTOMETRY_TPU_EPHEMERIS_URL", src.as_uri())
+    from photometry_tpu.download_cache import download_cache, load_cached_ephemeris
+    p = download_cache()
+    assert os.path.exists(p)
+    eph = load_cached_ephemeris()
+    np.testing.assert_array_equal(eph.time, t)
+    np.testing.assert_array_equal(eph.pos, pos)
+
+
 def test_make_catalog_from_tic_extract(tmp_path):
     from photometry_tpu.catalog import make_catalog, StarCatalog
     n = 12
@@ -64,3 +82,62 @@ def test_per_target_time_correction(tmp_path):
     assert np.max(np.abs(t0 - t1)) > 0.001 / 86400
     assert np.max(np.abs(t0 - t1)) < 60.0 / 86400
     ctx.close()
+
+
+def test_open_context_default_barycentric(tmp_path, monkeypatch):
+    """Production path (open_context) recomputes barycorr per target
+    position by default, matching BasePhotometry.py:443-453; the TIME
+    difference between two targets equals the differential Romer delay
+    predicted by the wired corrector."""
+    from photometry_tpu.sim.simulator import SimConfig, simulate_sector
+    from photometry_tpu.prepare import prepare_photometry
+    from photometry_tpu.core.dispatcher import (open_context,
+                                                default_time_corrector)
+    from photometry_tpu.core.engine import extract_aperture_batch
+    monkeypatch.setenv("PHOTOMETRY_TPU_CACHE", str(tmp_path / "cache"))
+    default_time_corrector.cache_clear()
+    d = str(tmp_path)
+    sim = simulate_sector(SimConfig(shape=(64, 64), n_times=6, n_stars=8, seed=82))
+    sim.write_ffis(d)
+    sim.write_catalog(d)
+    prepare_photometry(d)
+    task = {"datasource": "ffi", "sector": 1, "camera": 3, "ccd": 2}
+    ctx = open_context(d, task, cache="host")
+    try:
+        assert ctx.time_corrector is not None
+        sids = [int(sim.starid[0]), int(sim.starid[-1])]
+        res = extract_aperture_batch(ctx, sids)
+        t0, t1 = res[0].lightcurve["time"], res[1].lightcurve["time"]
+        tc0, tc1 = res[0].lightcurve["timecorr"], res[1].lightcurve["timecorr"]
+        # TIMECORR is per-target (differs between the two stars):
+        assert np.any(tc0 != tc1)
+        # TIME differs by the corrector's own differential Romer delay:
+        tgt0 = ctx.catalog.target(sids[0])
+        tgt1 = ctx.catalog.target(sids[1])
+        t_nocorr = ctx.time - ctx.timecorr
+        c0 = ctx.time_corrector.barycentric_correction(
+            t_nocorr, tgt0["ra"], tgt0["decl"])
+        c1 = ctx.time_corrector.barycentric_correction(
+            t_nocorr, tgt1["ra"], tgt1["decl"])
+        np.testing.assert_allclose(t0 - t1, c0 - c1, atol=1e-9)
+        # ... and the sim header correction is consistent with the recomputed
+        # one at the sub-second level (same ephemeris family, mid-CCD vs
+        # per-target position):
+        assert np.max(np.abs(tc0 - ctx.timecorr)) < 30.0 / 86400.0
+    finally:
+        ctx.close()
+        default_time_corrector.cache_clear()
+
+
+def test_timecorr_settings_gate(monkeypatch, tmp_path):
+    """[timecorr] pertarget=False disables the default corrector."""
+    import configparser
+    from photometry_tpu.core import dispatcher
+    cfg = configparser.ConfigParser()
+    cfg.read_dict({"timecorr": {"pertarget": "False"}})
+    monkeypatch.setattr(dispatcher, "load_settings", lambda: cfg)
+    dispatcher.default_time_corrector.cache_clear()
+    try:
+        assert dispatcher.default_time_corrector() is None
+    finally:
+        dispatcher.default_time_corrector.cache_clear()

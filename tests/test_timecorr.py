@@ -77,3 +77,38 @@ def test_earth_distance_sane():
     r = np.linalg.norm(eph.pos, axis=1)
     assert np.all(r > 0.97 * AU_KM)
     assert np.all(r < 1.03 * AU_KM)
+
+
+def test_position_velocity(tc):
+    """Velocity from finite differences is orbital-speed sized (~30 km/s)."""
+    pos, vel = tc.position_velocity(2458350.0)
+    assert pos.shape == (1, 3) and vel.shape == (1, 3)
+    speed = np.linalg.norm(vel[0])
+    assert 20.0 < speed < 40.0
+
+
+def test_time_coverage(tc):
+    lo, hi = tc.time_coverage()
+    assert lo < hi
+    assert lo <= 2458350.0 <= hi
+
+
+def test_sclk2jd_linear_model(tc):
+    jd = tc.sclk2jd(86400.0)
+    assert jd == 2457001.0
+    jd2 = tc.sclk2jd(np.array([0.0, 43200.0]), epoch_jd=2458000.0)
+    np.testing.assert_allclose(jd2, [2458000.0, 2458000.5])
+
+
+def test_full_correction_romer_plus_shapiro(tc):
+    """Shapiro term is tiny (<~50 us) and full ~= Romer away from the Sun."""
+    t = np.linspace(1325.0, 1326.0, 5)
+    romer = np.asarray(tc.barycentric_correction(t, 65.0, -25.0))
+    full = np.asarray(tc.barycentric_correction_full(t, 65.0, -25.0))
+    dshap = full - romer
+    assert np.all(np.abs(dshap) < 100e-6 / 86400.0)   # < 100 us, in days
+    assert np.all(np.abs(dshap) > 0)
+    # batched form:
+    full_b = np.asarray(tc.barycentric_correction_full(
+        t, np.array([65.0, 66.0]), np.array([-25.0, -25.0])))
+    assert full_b.shape == (2, 5)
