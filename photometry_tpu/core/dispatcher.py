@@ -25,6 +25,7 @@ from typing import Optional
 import numpy as np
 
 from ..io.settings import load_settings
+from ..utils.logutils import capture_warnings
 from ..utils.mathutils import mag2flux
 from .engine import SectorContext, TpfContext, extract_aperture_batch, TargetResult
 from .status import STATUS
@@ -135,12 +136,18 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
     results = {}
     for method, group in by_method.items():
         sids = [int(t["starid"]) for t in group]
-        try:
-            out = _run_method(ctx, sids, method)
-        except Exception:
-            tb = traceback.format_exc().strip()
-            logger.exception("Method %s failed for batch", method)
-            out = [_error_result(t, ctx, tb) for t in group]
+        # Warnings logged during the photometry are persisted into the
+        # diagnostics errors column (BasePhotometry.py:171-179, 1409-1414):
+        with capture_warnings() as log_messages:
+            try:
+                out = _run_method(ctx, sids, method)
+            except Exception:
+                tb = traceback.format_exc().strip()
+                logger.exception("Method %s failed for batch", method)
+                out = [_error_result(t, ctx, tb) for t in group]
+        if log_messages:
+            for res in out:
+                res.details.setdefault("errors", []).extend(log_messages)
         for task, res in zip(group, out):
             res.details.setdefault("task", {}).update(
                 {k: task.get(k) for k in ("priority", "datasource")})

@@ -45,7 +45,7 @@ from .status import STATUS
 logger = logging.getLogger(__name__)
 
 __all__ = ["SectorContext", "TpfContext", "TargetResult", "extract_aperture_batch",
-           "extract_flux_core", "default_stamp_size"]
+           "extract_flux_core", "default_stamp_size", "aperture_image"]
 
 #: Tmag -> default stamp size lookup (public TASOC calibration tables,
 #: reference BasePhotometry.py:541-556).
@@ -251,6 +251,9 @@ class TpfContext:
             axis=0).astype(np.float32)
         self.collected = (tpf.aperture & 1 != 0) if tpf.aperture is not None \
             else np.isfinite(self.sumimage)
+        #: SPOC aperture bits (basis of the output APERTURE image,
+        #: BasePhotometry.py:1063-1072):
+        self.tpf_aperture = tpf.aperture
         self.bkg_pixels_used = np.zeros(self.shape, bool)
 
         # Motion: translation kernels from POS_CORR, re-zeroed at the frame
@@ -328,6 +331,37 @@ class TargetResult:
 # ---------------------------------------------------------------------------
 # Batched stamp machinery
 # ---------------------------------------------------------------------------
+
+def aperture_image(ctx, stamp, mask_stamp) -> np.ndarray:
+    """TESS-product APERTURE bits for one stamp (BasePhotometry.py:1031-1074
+    + the final-mask bits of :1644-1649).
+
+    ``stamp`` = (r0, r1, c0, c1) in 0-based science coords.  FFI: bit 1 =
+    pixel collected, bit 4 = used in background fit, bits 32/64/128/256 = CCD
+    output A-D by raw 1-based column (science col + PIXEL_OFFSET_COLUMN + 1;
+    outputs span raw 45-556/557-1068/1069-1580/1581-2092).  TPF: the SPOC
+    aperture with its mask/centroid bits (2|8) cleared.  Both get 2|8 on the
+    pipeline's own photometric mask.
+    """
+    r0, r1, c0, c1 = stamp
+    tpf_ap = getattr(ctx, "tpf_aperture", None)
+    if ctx.datasource == "ffi" or tpf_ap is None:
+        ap = ctx.collected[r0:r1, c0:c1].astype(np.int32)
+        ap |= 4 * ctx.bkg_pixels_used[r0:r1, c0:c1].astype(np.int32)
+        if ctx.datasource == "ffi":
+            rawcol = np.arange(c0, c1) + ctx.pixel_offset_col + 1  # 1-based raw
+            bits = np.zeros_like(rawcol, np.int32)
+            bits[(45 <= rawcol) & (rawcol <= 556)] = 32     # CCD output A
+            bits[(557 <= rawcol) & (rawcol <= 1068)] = 64   # CCD output B
+            bits[(1069 <= rawcol) & (rawcol <= 1580)] = 128  # CCD output C
+            bits[(1581 <= rawcol) & (rawcol <= 2092)] = 256  # CCD output D
+            ap |= bits[None, :]
+    else:
+        ap = np.asarray(tpf_ap[r0:r1, c0:c1], np.int32) & ~np.int32(2 | 8)
+    if mask_stamp is not None:
+        ap |= np.where(mask_stamp, np.int32(2 | 8), np.int32(0))
+    return ap
+
 
 def _gather_stamps_image(image, r0s, c0s, h: int, w: int):
     """vmapped (N,) dynamic slices of an (H, W) image -> (N, h, w)."""
@@ -745,12 +779,7 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         fr0, fc0 = int(r0s[i]), int(c0s[i])
         mask_stamp = mb[s[0] - fr0:s[1] - fr0, s[2] - fc0:s[3] - fc0]
         sum_stamp = ctx.sumimage[s[0]:s[1], s[2]:s[3]]
-        coll_stamp = ctx.collected[s[0]:s[1], s[2]:s[3]]
-        bkgused_stamp = ctx.bkg_pixels_used[s[0]:s[1], s[2]:s[3]]
-        aperture = (coll_stamp.astype(np.int32)
-                    + 4 * bkgused_stamp.astype(np.int32)
-                    + 2 * mask_stamp.astype(np.int32)
-                    + 8 * mask_stamp.astype(np.int32))
+        aperture = aperture_image(ctx, s, mask_stamp)
 
         status = STATUS.OK
         details = dict(t["details"])

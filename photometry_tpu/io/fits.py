@@ -26,7 +26,108 @@ import numpy as np
 BLOCK = 2880
 
 __all__ = ["Header", "HDU", "read_fits", "write_fits", "PrimaryHDU",
-           "ImageHDU", "BinTableHDU"]
+           "ImageHDU", "BinTableHDU", "verify_checksums"]
+
+
+# ---------------------------------------------------------------------------
+# FITS checksums (Seaman & Pence; reference writes them via astropy at
+# BasePhotometry.py:1720-1722 with checksum=True)
+# ---------------------------------------------------------------------------
+
+def _ones_complement_sum(data: bytes, start: int = 0) -> int:
+    """32-bit ones'-complement sum of big-endian words (FITS checksum core)."""
+    if len(data) % 4:
+        data = data + b"\x00" * ((-len(data)) % 4)
+    words = np.frombuffer(data, dtype=">u4").astype(np.uint64)
+    s = int(start) + int(words.sum())
+    while s >> 32:
+        s = (s & 0xFFFFFFFF) + (s >> 32)
+    return s
+
+
+_CHECKSUM_EXCLUDE = frozenset(b":;<=>?@[\\]^_`")
+
+
+def _encode_checksum(value: int) -> str:
+    """ASCII-encode the complement of ``value`` per the FITS standard.
+
+    Each of the 4 bytes of ``~value`` is split into 4 printable chars
+    (offset '0') that sum back to the byte, punctuation avoided by paired
+    +1/-1 shifts, interleaved, then rotated right one place.
+    """
+    value = (~value) & 0xFFFFFFFF
+    ascii_ = bytearray(16)
+    for j in range(4):
+        byte = (value >> (24 - 8 * j)) & 0xFF
+        quotient = byte // 4 + ord("0")
+        remainder = byte % 4
+        ch = [quotient] * 4
+        ch[0] += remainder
+        changed = True
+        while changed:
+            changed = False
+            for k in (0, 2):
+                if ch[k] in _CHECKSUM_EXCLUDE or ch[k + 1] in _CHECKSUM_EXCLUDE:
+                    ch[k] += 1
+                    ch[k + 1] -= 1
+                    changed = True
+        for k in range(4):
+            ascii_[4 * k + j] = ch[k]
+    # rotate right by one character:
+    return (ascii_[-1:] + ascii_[:-1]).decode("ascii")
+
+
+def _hdu_bytes_with_checksum(hdr: Header, data_raw: bytes) -> bytes:
+    """Render one HDU with valid DATASUM/CHECKSUM keywords."""
+    datasum = _ones_complement_sum(data_raw)
+    hdr.set("DATASUM", str(datasum), "data unit checksum")
+    hdr.set("CHECKSUM", "0" * 16, "HDU checksum")
+    total = _ones_complement_sum(hdr.to_bytes(), start=datasum)
+    hdr.set("CHECKSUM", _encode_checksum(total), "HDU checksum")
+    return hdr.to_bytes() + data_raw
+
+
+def verify_checksums(path) -> list:
+    """Verify CHECKSUM/DATASUM of every HDU in a file.
+
+    Returns one dict per HDU: {"checksum_ok": bool|None, "datasum_ok":
+    bool|None} (None when the HDU carries no such keyword).
+    """
+    results = []
+    with _open_maybe_gzip(path, "rb") as fh:
+        while True:
+            hdr_raw = b""
+            done = False
+            while True:
+                block = fh.read(BLOCK)
+                if len(block) < BLOCK:
+                    done = True
+                    break
+                hdr_raw += block
+                if any(block[i:i + 8].rstrip() == b"END"
+                       for i in range(0, BLOCK, 80)):
+                    break
+            if done or not hdr_raw:
+                break
+            hdr = Header.from_bytes(hdr_raw)
+            naxis = int(hdr.get("NAXIS", 0))
+            nbytes = 0
+            if naxis:
+                nbytes = abs(int(hdr["BITPIX"])) // 8
+                for i in range(1, naxis + 1):
+                    nbytes *= int(hdr[f"NAXIS{i}"])
+                nbytes += int(hdr.get("PCOUNT", 0)) * abs(int(hdr["BITPIX"])) // 8
+            data_raw = fh.read(nbytes + ((-nbytes) % BLOCK))
+            out = {"checksum_ok": None, "datasum_ok": None}
+            if "DATASUM" in hdr:
+                out["datasum_ok"] = (int(str(hdr["DATASUM"]))
+                                     == _ones_complement_sum(data_raw))
+            if "CHECKSUM" in hdr:
+                # a valid HDU sums to all ones:
+                out["checksum_ok"] = (_ones_complement_sum(hdr_raw + data_raw)
+                                      == 0xFFFFFFFF)
+            results.append(out)
+    return results
 
 
 # ---------------------------------------------------------------------------
@@ -420,7 +521,7 @@ def _column_spec(arr: np.ndarray):
     return tform, be, repeat
 
 
-def _bintable_bytes(cols: dict, user_header: Header, name) -> bytes:
+def _bintable_parts(cols: dict, user_header: Header, name) -> tuple:
     names = list(cols.keys())
     arrays = [np.asarray(cols[n]) for n in names]
     nrows = len(arrays[0]) if arrays else 0
@@ -470,11 +571,15 @@ def _bintable_bytes(cols: dict, user_header: Header, name) -> bytes:
             offset += width
     raw = buf.tobytes()
     pad = (-len(raw)) % BLOCK
-    return hdr.to_bytes() + raw + b"\x00" * pad
+    return hdr, raw + b"\x00" * pad
 
 
-def write_fits(path, hdus: list, overwrite: bool = True):
-    """Write a list of HDUs to ``path`` (gzip if it ends with .gz)."""
+def write_fits(path, hdus: list, overwrite: bool = True, checksum: bool = True):
+    """Write a list of HDUs to ``path`` (gzip if it ends with .gz).
+
+    With ``checksum`` (default, like the reference's astropy writeto at
+    BasePhotometry.py:1720-1722), every HDU gets CHECKSUM/DATASUM keywords.
+    """
     if not overwrite:
         import os
         if os.path.exists(path):
@@ -484,7 +589,7 @@ def write_fits(path, hdus: list, overwrite: bool = True):
         if hdu.kind == "bintable":
             if i == 0:
                 raise ValueError("Primary HDU cannot be a bintable")
-            out.write(_bintable_bytes(hdu.data, hdu.header, hdu.name or None))
+            hdr, raw = _bintable_parts(hdu.data, hdu.header, hdu.name or None)
         else:
             data = hdu.data
             if data is not None:
@@ -495,10 +600,14 @@ def write_fits(path, hdus: list, overwrite: bool = True):
             hdr = _image_header(data, primary=(i == 0), user_header=hdu.header)
             if i == 0:
                 hdr.set("EXTEND", True)
-            out.write(hdr.to_bytes())
+            raw = b""
             if data is not None:
                 raw = data.astype(data.dtype.newbyteorder(">")).tobytes()
-                out.write(raw + b"\x00" * ((-len(raw)) % BLOCK))
+                raw += b"\x00" * ((-len(raw)) % BLOCK)
+        if checksum:
+            out.write(_hdu_bytes_with_checksum(hdr, raw))
+        else:
+            out.write(hdr.to_bytes() + raw)
     payload = out.getvalue()
     with _open_maybe_gzip(path, "wb") as fh:
         fh.write(payload)

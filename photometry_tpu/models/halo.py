@@ -252,8 +252,8 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER, **_kw) -> list:
             "flux_background": np.full(T, np.nan),
             "pos_centroid": pos, "pos_corr": jit,
         }
-        aperture = (coll.astype(np.int32) + 2 * pixel_mask.astype(np.int32)
-                    + 8 * pixel_mask.astype(np.int32))
+        from ..core.engine import aperture_image
+        aperture = aperture_image(ctx, s, pixel_mask)
         stamp_wcs = None
         if ctx.wcs is not None:
             stamp_wcs = ctx.wcs.copy()

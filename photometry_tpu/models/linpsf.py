@@ -142,9 +142,8 @@ def extract_linpsf_batch(ctx, starids, prf=None, **_kw) -> list:
             "pos_corr": jit[:, setup.target_idx, :],
         }
         sum_stamp = ctx.sumimage[s[0]:s[1], s[2]:s[3]]
-        coll = ctx.collected[s[0]:s[1], s[2]:s[3]]
-        aperture = (coll.astype(np.int32) + 2 * mini.astype(np.int32)
-                    + 8 * mini.astype(np.int32))
+        from ..core.engine import aperture_image
+        aperture = aperture_image(ctx, s, mini)
         add_headers = {}
         if np.isfinite(contamination):
             add_headers["AP_CONT"] = (round(contamination, 8), "Contamination from fitted fluxes")

@@ -201,9 +201,8 @@ def extract_psf_batch(ctx, starids, lhood_stat: str = "Gaussian_d",
         mask_stamp = np.asarray(minimum_aperture_mask((h, w), setup.target_row,
                                                       setup.target_col))
         sum_stamp = ctx.sumimage[s[0]:s[1], s[2]:s[3]]
-        coll = ctx.collected[s[0]:s[1], s[2]:s[3]]
-        aperture = (coll.astype(np.int32) + 2 * mask_stamp.astype(np.int32)
-                    + 8 * mask_stamp.astype(np.int32))
+        from ..core.engine import aperture_image
+        aperture = aperture_image(ctx, s, mask_stamp)
 
         status = STATUS.OK
         details = {

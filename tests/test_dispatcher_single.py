@@ -82,3 +82,23 @@ def test_psf_invalid_stat(setup):
     with pytest.raises(ValueError):
         extract_psf_batch(ctx, [int(sim.starid[1])], lhood_stat="nope")
     ctx.close()
+
+
+def test_warning_capture_into_errors(setup, monkeypatch):
+    """Warnings logged during photometry land in details['errors']
+    (reference ListHandler, BasePhotometry.py:171-179, 1409-1414)."""
+    import logging
+    from photometry_tpu.core import dispatcher
+    sim, d = setup
+    orig = dispatcher._run_method
+
+    def noisy(ctx, starids, method, **kw):
+        logging.getLogger("photometry_tpu.models.test").warning(
+            "synthetic warning %d", 42)
+        return orig(ctx, starids, method, **kw)
+
+    monkeypatch.setattr(dispatcher, "_run_method", noisy)
+    res = dispatcher.photometry_single(int(sim.starid[4]), d, datasource="ffi",
+                                       sector=1, camera=3, ccd=2, save=False)
+    errors = res.details.get("errors", [])
+    assert any("WARNING: synthetic warning 42" in e for e in errors), errors

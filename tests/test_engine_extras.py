@@ -93,3 +93,56 @@ def test_bf16_cube_mode(data_dir):
         assert rel < 2e-3
     ctx32.close()
     ctx16.close()
+
+
+def test_aperture_image_ccd_output_bits():
+    """CCD output-channel bits 32/64/128/256 by raw column
+    (BasePhotometry.py:1044-1050)."""
+    from photometry_tpu.core.engine import aperture_image
+
+    class _Ctx:
+        datasource = "ffi"
+        pixel_offset_col = 44
+        collected = np.ones((2048, 2048), bool)
+        bkg_pixels_used = np.zeros((2048, 2048), bool)
+    ctx = _Ctx()
+    ctx.bkg_pixels_used[5, 508:516] = True
+    # Stamp spanning the A/B boundary (science col 512 <-> raw col 557):
+    ap = aperture_image(ctx, (0, 10, 508, 516), None)
+    assert ap.shape == (10, 8)
+    assert np.all(ap[:, :4] & 32)        # science 508..511 -> output A
+    assert not np.any(ap[:, :4] & 64)
+    assert np.all(ap[:, 4:] & 64)        # science 512..515 -> output B
+    assert not np.any(ap[:, 4:] & 32)
+    assert np.all(ap & 1)                # collected
+    assert np.all(ap[5] & 4)             # background pixels
+    assert not np.any(ap[4] & 4)
+    # C and D boundaries:
+    ap2 = aperture_image(ctx, (0, 2, 1020, 1030), None)
+    assert np.all(ap2[:, :4] & 64) and np.all(ap2[:, 4:] & 128)
+    ap3 = aperture_image(ctx, (0, 2, 2040, 2048), None)
+    assert np.all(ap3 & 256)
+    # mask bits added:
+    m = np.zeros((2, 10), bool)
+    m[0, 0] = True
+    ap4 = aperture_image(ctx, (0, 2, 1020, 1030), m)
+    assert ap4[0, 0] & 2 and ap4[0, 0] & 8
+    assert not (ap4[1, 0] & 2)
+
+
+def test_aperture_image_tpf_spoc_bits():
+    """TPF path: SPOC aperture with its mask/centroid bits cleared
+    (BasePhotometry.py:1063-1072), pipeline mask bits re-added."""
+    from photometry_tpu.core.engine import aperture_image
+
+    class _Ctx:
+        datasource = "tpf"
+        pixel_offset_col = 100
+        collected = np.ones((5, 5), bool)
+        bkg_pixels_used = np.zeros((5, 5), bool)
+        tpf_aperture = np.full((5, 5), 1 | 2 | 8 | 32, np.int32)
+    m = np.zeros((5, 5), bool)
+    m[2, 2] = True
+    ap = aperture_image(_Ctx(), (0, 5, 0, 5), m)
+    assert ap[0, 0] == 1 | 32            # SPOC 2|8 cleared
+    assert ap[2, 2] == 1 | 2 | 8 | 32    # ours re-added on the mask

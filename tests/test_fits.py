@@ -110,3 +110,60 @@ def test_unsigned_int_convention(tmp_path):
     pf.write_fits(path, [pf.PrimaryHDU(signed, header=hdr)])
     out = pf.read_fits(path)[0].data
     np.testing.assert_array_equal(out, raw.astype(np.int64))
+
+
+def test_checksums_written_and_verified(tmp_path):
+    """Every written HDU carries valid CHECKSUM/DATASUM (reference writes
+    them via astropy, BasePhotometry.py:1720-1722)."""
+    import gzip
+    from photometry_tpu.io.fits import (write_fits, verify_checksums,
+                                        PrimaryHDU, ImageHDU, BinTableHDU,
+                                        Header, read_fits)
+    p = str(tmp_path / "c.fits.gz")
+    hdr = Header()
+    hdr.set("OBJECT", "TIC 1", "target")
+    img = np.arange(64, dtype=np.float32).reshape(8, 8)
+    tbl = {"TIME": np.linspace(0, 1, 5), "FLUX": np.arange(5, dtype=np.float32)}
+    write_fits(p, [PrimaryHDU(None, header=hdr), ImageHDU(img, name="IMG"),
+                   BinTableHDU(tbl, name="TBL")])
+    res = verify_checksums(p)
+    assert len(res) == 3
+    assert all(r["checksum_ok"] and r["datasum_ok"] for r in res)
+    hdus = read_fits(p)
+    for h in hdus:
+        assert len(str(h.header["CHECKSUM"])) == 16
+        int(str(h.header["DATASUM"]))  # decimal string
+
+    # Any data corruption must be detected:
+    raw = bytearray(gzip.open(p, "rb").read())
+    raw[2880 * 2 + 33] ^= 0x55    # inside the IMG data block
+    p2 = str(tmp_path / "bad.fits")
+    with open(p2, "wb") as fh:
+        fh.write(bytes(raw))
+    res2 = verify_checksums(p2)
+    assert res2[1]["checksum_ok"] is False
+    assert res2[1]["datasum_ok"] is False
+
+
+def test_checksum_all_ones_property():
+    """Any HDU rendered with checksums sums to 0xFFFFFFFF (the defining
+    property of the Seaman-Pence encoding), for arbitrary header/data."""
+    from photometry_tpu.io.fits import (_hdu_bytes_with_checksum,
+                                        _ones_complement_sum,
+                                        _encode_checksum, Header)
+    rng = np.random.default_rng(3)
+    for trial in range(40):
+        hdr = Header()
+        hdr.set("SIMPLE", True)
+        hdr.set("BITPIX", 8)
+        hdr.set("NAXIS", 1)
+        hdr.set("NAXIS1", int(rng.integers(1, 5000)))
+        hdr.set("RANDKEY", float(rng.normal() * 1e6))
+        data = rng.integers(0, 256, int(hdr["NAXIS1"]), dtype=np.uint8).tobytes()
+        data += b"\x00" * ((-len(data)) % 2880)
+        blob = _hdu_bytes_with_checksum(hdr, data)
+        assert _ones_complement_sum(blob) == 0xFFFFFFFF
+    # encoded strings are always 16 alphanumeric chars:
+    for value in [0, 1, 0xFFFFFFFF] + list(rng.integers(0, 2 ** 32, 20)):
+        enc = _encode_checksum(int(value))
+        assert len(enc) == 16 and all(c.isalnum() for c in enc)
