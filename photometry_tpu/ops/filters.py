@@ -24,7 +24,53 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["median_filter2d", "gaussian_blur2d", "scharr",
-           "binary_dilation", "binary_erosion", "fill_holes"]
+           "binary_dilation", "binary_erosion", "fill_holes",
+           "time_moving_nanmean", "time_moving_nanmean_blocked"]
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def time_moving_nanmean(x, window: int = 3):
+    """Centred moving nanmean along axis 0 with shrinking edge windows.
+
+    Device form of the reference's background time-smoothing
+    (prepare.py:309-338).  Uses running sums (one cumsum over T instead of a
+    ``window``-deep shifted stack), so memory stays O(T*H*W) for any window.
+    """
+    T = x.shape[0]
+    half = window // 2
+    fin = jnp.isfinite(x)
+    vals = jnp.where(fin, x, 0.0)
+    zero = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    cs = jnp.concatenate([zero, jnp.cumsum(vals, axis=0)], axis=0)
+    cc = jnp.concatenate([jnp.zeros((1,) + x.shape[1:], jnp.int32),
+                          jnp.cumsum(fin.astype(jnp.int32), axis=0)], axis=0)
+    lo = jnp.clip(jnp.arange(T) - half, 0, T)
+    hi = jnp.clip(jnp.arange(T) + half + 1, 0, T)
+    s = cs[hi] - cs[lo]
+    n = cc[hi] - cc[lo]
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), jnp.nan)
+
+
+def time_moving_nanmean_blocked(x, window: int = 3, block: int = 256):
+    """Host-orchestrated :func:`time_moving_nanmean` over halo'd T-blocks.
+
+    Bounds device residency to ``(block + window - 1)`` frames, so a full
+    sector background stack streams through HBM; the f32 running sums also
+    stay short (cumsum precision is per block, not per sector).
+    """
+    x = np.asarray(x)
+    T = x.shape[0]
+    half = window // 2
+    if T <= block:
+        return np.asarray(time_moving_nanmean(jnp.asarray(x), window))
+    out = np.empty_like(x, dtype=np.float32)
+    for t0 in range(0, T, block):
+        t1 = min(t0 + block, T)
+        lo = max(0, t0 - half)
+        hi = min(T, t1 + half)
+        sm = np.asarray(time_moving_nanmean(jnp.asarray(x[lo:hi]), window))
+        out[t0:t1] = sm[t0 - lo:t0 - lo + (t1 - t0)]
+    return out
 
 
 def median_filter2d(img, size: int = 15, mode: str = "reflect"):

@@ -149,14 +149,13 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
                              PixelQualityFlags.NotUsedForBackground, 0).astype(np.uint8)
             flags |= np.where(manex, PixelQualityFlags.ManualExclude, 0).astype(np.uint8)
             cube.write_block("pixelflags", t0, flags)
-        # Smooth over the time axis (window 3 @1800s / 9 @600s):
+        # Smooth over the time axis (window 3 @1800s / 9 @600s), with the
+        # framework's own device moving-window kernel (nanmean semantics of
+        # reference prepare.py:309-338):
         logger.info("Smoothing backgrounds in time (window %d)...", time_smooth)
-        smooth = np.empty_like(raw_bkg)
-        # nanmean over the centred window, matching prepare.py:309-338:
-        half = time_smooth // 2
-        for k in range(T):
-            lo, hi = max(0, k - half), min(T, k + half + 1)
-            smooth[k] = np.nanmean(raw_bkg[lo:hi], axis=0)
+        from .ops.filters import time_moving_nanmean_blocked
+        smooth = time_moving_nanmean_blocked(raw_bkg, window=time_smooth,
+                                             block=chunk)
         cube.write_block("backgrounds", 0, smooth)
         cube.attrs["time_smooth"] = time_smooth
         cube.attrs["bkgshe_threshold"] = bkgshe_threshold

@@ -149,3 +149,27 @@ def test_bicubic_eval_accuracy():
     # Exact at grid points:
     got = np.asarray(bicubic_eval(grid, np.array([3.0]), np.array([4.0])))
     assert got[0] == pytest.approx(grid[3, 4], abs=1e-6)
+
+
+def test_time_moving_nanmean_matches_host_loop():
+    """Device moving nanmean == the reference's per-frame host loop
+    (prepare.py:309-338 semantics: centred window, shrinking edges, NaNs
+    excluded)."""
+    from photometry_tpu.ops.filters import (time_moving_nanmean,
+                                            time_moving_nanmean_blocked)
+    rng = np.random.default_rng(0)
+    for T, window in [(10, 3), (25, 9), (40, 27)]:
+        x = rng.normal(500, 20, (T, 6, 7)).astype(np.float32)
+        x[2, 1, 1] = np.nan
+        x[T // 2] = np.nan
+        half = window // 2
+        want = np.empty_like(x)
+        for k in range(T):
+            lo, hi = max(0, k - half), min(T, k + half + 1)
+            with np.errstate(invalid="ignore"):
+                want[k] = np.nanmean(x[lo:hi], axis=0)
+        got = np.asarray(time_moving_nanmean(jnp.asarray(x), window))
+        np.testing.assert_allclose(got, want, rtol=2e-5, equal_nan=True)
+        # blocked form (halo'd chunks) agrees, incl. when blocks are small:
+        got_b = time_moving_nanmean_blocked(x, window, block=7)
+        np.testing.assert_allclose(got_b, want, rtol=2e-5, equal_nan=True)
