@@ -157,3 +157,36 @@ def test_dispatcher_psf_methods(psf_setup):
     assert results[1].method == "linpsf"
     for r in results:
         assert r.status in (STATUS.OK, STATUS.WARNING)
+
+
+def test_psf_batching_groups_and_consistency(psf_setup, prf):
+    """Multi-target PSF extraction runs bucketed+vmapped and agrees with
+    single-target extraction (bucket NaN-padding is numerically transparent)."""
+    from photometry_tpu.models.psf_fit import extract_psf_batch
+    from photometry_tpu.models.psf_common import (bucket_psf_groups,
+                                                  setup_psf_target)
+    sim, ctx = psf_setup
+    sids = [int(s) for s in sim.starid[:6]]
+    setups = [setup_psf_target(ctx, sid) for sid in sids]
+    groups = bucket_psf_groups(ctx, setups)
+    # Bucketing keeps the number of compiled shapes small (<=2 per batch):
+    assert len(groups) <= 2
+    batched = extract_psf_batch(ctx, sids, prf=prf)
+    singles = [extract_psf_batch(ctx, [sid], prf=prf)[0] for sid in sids[:3]]
+    for one in singles:
+        many = next(r for r in batched if r.starid == one.starid)
+        np.testing.assert_allclose(many.lightcurve["flux"],
+                                   one.lightcurve["flux"], rtol=1e-4)
+
+
+def test_linpsf_batching_consistency(psf_setup, prf):
+    from photometry_tpu.models.linpsf import extract_linpsf_batch
+    sim, ctx = psf_setup
+    sids = [int(s) for s in sim.starid[:5]]
+    batched = extract_linpsf_batch(ctx, sids, prf=prf)
+    singles = [extract_linpsf_batch(ctx, [sid], prf=prf)[0] for sid in sids[:3]]
+    for one in singles:
+        many = next(r for r in batched if r.starid == one.starid)
+        np.testing.assert_allclose(many.lightcurve["flux"],
+                                   one.lightcurve["flux"], rtol=1e-4)
+        assert many.status == one.status
