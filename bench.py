@@ -3,16 +3,30 @@
 Benchmark: batched aperture light-curve extraction throughput.
 
 Measures the primary BASELINE.json metric — targets/sec/chip for aperture
-extraction (K2P2 mask building + masked flux sums over a sector-CCD cube) —
-on whatever device JAX provides (the real TPU under the driver).
+extraction (K2P2 mask building + masked flux/err/bkg/centroid sums) at the
+north-star configuration: a full sector-CCD time axis (T=1312 ~ one 1800s
+sector) and >10k targets on a 2048x2048 CCD — on whatever device JAX
+provides (the real TPU under the driver).
 
-``vs_baseline`` is the speedup over a faithful single-target-at-a-time NumPy
-implementation of the same extraction (KDE-mode threshold, connected
-components via scipy.ndimage, per-frame masked sums) timed on this host —
-the reference pipeline's design (one star at a time on CPU; its own code
-cannot run here since astropy/photutils are not installed).
+The full three-cube sector stack (~65 GB f32) exceeds both HBM and this
+host's RAM, so the time axis is processed in 128-frame blocks like the
+production streamed path (core.engine._extract_flux_streamed).  The blocks
+are device-resident and reused: per-block device work (bytes read, flops)
+is identical to a real streamed sector, while host->device streaming —
+which production overlaps with compute and which here would only measure
+the axon tunnel — is excluded.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the speedup over a faithful single-target-at-a-time
+NumPy implementation of the same extraction (KDE-mode threshold, connected
+components via scipy.ndimage, per-frame masked sums over the same T) on
+this host.  This comparator is *kind* to the reference: its real pipeline
+re-reads every stamp from HDF5 per frame (BasePhotometry.py:720-751)
+while the proxy gets in-RAM numpy arrays.
+
+Also measures the secondary BASELINE.json metric: FFI backgrounds/sec per
+CCD stack (radial KDE-mode + tiled SExtractor mode, ops.background).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -21,14 +35,15 @@ import time
 
 import numpy as np
 
+T_SECTOR = 1312          #: full-sector cadences (1800 s cadence, ~27 d)
+T_BLOCK = 128            #: streamed block length
+N_TARGETS = 10240        #: north-star ">10k targets per CCD"
+H = W = 2048
+STAMP = 17
 
-def make_data(T=128, H=2048, W=2048, n_stars=1200, seed=7):
-    """Synthetic sector-CCD cube with injected stars.
 
-    The sum-image with stars is rendered on the host (small); the full time
-    cube is synthesised ON DEVICE — host->device transfers through the TPU
-    tunnel are far slower than device HBM and must stay out of the setup.
-    """
+def make_field(n_stars=12000, seed=7):
+    """Synthetic sum-image star field (host) + star table."""
     rng = np.random.default_rng(seed)
     rows = rng.uniform(10, H - 10, n_stars)
     cols = rng.uniform(10, W - 10, n_stars)
@@ -45,7 +60,7 @@ def make_data(T=128, H=2048, W=2048, n_stars=1200, seed=7):
         c0, c1 = max(ci - win, 0), min(ci + win + 1, W)
         img0[r0:r1, c0:c1] += g[(r0 - ri + win):(r1 - ri + win),
                                 (c0 - ci + win):(c1 - ci + win)]
-    return T, img0, rows, cols, tmag
+    return img0, rows, cols, tmag
 
 
 def _enable_compile_cache():
@@ -60,15 +75,16 @@ def _enable_compile_cache():
         pass
 
 
-def bench_tpu(T, sumimage, rows, cols, tmag, n_targets=1024, h=17, w=17):
+def bench_tpu(sumimage, rows, cols, tmag, n_targets=N_TARGETS, h=STAMP,
+              w=STAMP, mask_chunk=2048):
     import jax
     import jax.numpy as jnp
     _enable_compile_cache()
     sys.path.insert(0, ".")
     from photometry_tpu.models.k2p2 import build_masks_batch, K2P2Params
-    from photometry_tpu.core.engine import _extract_flux_batch
+    from photometry_tpu.ops.bandext import (band_extract_flux_batch,
+                                            build_piece_patches)
 
-    H, W = sumimage.shape
     N = min(n_targets, len(rows))
     r0s = np.clip(np.round(rows[:N]).astype(np.int32) - h // 2, 0, H - h)
     c0s = np.clip(np.round(cols[:N]).astype(np.int32) - w // 2, 0, W - w)
@@ -84,14 +100,7 @@ def bench_tpu(T, sumimage, rows, cols, tmag, n_targets=1024, h=17, w=17):
     cat_valid[:, 0] = True
     cat_sid[:, 0] = np.arange(N) + 1
 
-    # Synthesize the time cube on device (sum-image + per-frame noise):
     sums = jnp.asarray(sumimage)
-    key = jax.random.PRNGKey(0)
-    imgs = (sums[None] + 0.5 * jax.random.normal(key, (T, H, W), jnp.float32))
-    imgs = imgs.block_until_ready()
-    errs = jnp.sqrt(jnp.abs(imgs)) + 1.0
-    bkgs = jnp.zeros_like(imgs)
-    pflags = jnp.zeros((T, H, W), jnp.uint8)
 
     def gather(img, r0, c0):
         return jax.lax.dynamic_slice(img, (r0, c0), (h, w))
@@ -103,40 +112,89 @@ def bench_tpu(T, sumimage, rows, cols, tmag, n_targets=1024, h=17, w=17):
                                 params=K2P2Params())
         return out["mask"]
 
-    args = (sums, jnp.asarray(r0s), jnp.asarray(c0s),
-            jnp.asarray(cat_col), jnp.asarray(cat_row), jnp.asarray(cat_tmag),
-            jnp.asarray(cat_sid), jnp.asarray(cat_valid),
-            jnp.asarray(cat_row[:, 0]), jnp.asarray(cat_col[:, 0]),
-            jnp.asarray(cat_tmag[:, 0]))
+    def all_masks():
+        parts = []
+        for i0 in range(0, N, mask_chunk):
+            i1 = min(i0 + mask_chunk, N)
+            parts.append(masks_fn(
+                sums, jnp.asarray(r0s[i0:i1]), jnp.asarray(c0s[i0:i1]),
+                jnp.asarray(cat_col[i0:i1]), jnp.asarray(cat_row[i0:i1]),
+                jnp.asarray(cat_tmag[i0:i1]), jnp.asarray(cat_sid[i0:i1]),
+                jnp.asarray(cat_valid[i0:i1]), jnp.asarray(cat_row[i0:i1, 0]),
+                jnp.asarray(cat_col[i0:i1, 0]), jnp.asarray(cat_tmag[i0:i1, 0])))
+        return jnp.concatenate(parts)
 
-    def full_extract():
-        masks = masks_fn(*args)
-        flux, ferr, fbkg, cent, shen = _extract_flux_batch(
-            imgs, errs, bkgs, pflags, masks, jnp.asarray(r0s),
-            jnp.asarray(c0s), h, w)
-        return flux
+    # One streamed block of the sector cube, synthesized on device
+    # (host->device transfers through the TPU tunnel must stay out):
+    key = jax.random.PRNGKey(0)
+    imgs = (sums[None] + 0.5 * jax.random.normal(key, (T_BLOCK, H, W), jnp.float32))
+    imgs = imgs.block_until_ready()
+    errs = jnp.sqrt(jnp.abs(imgs)) + 1.0
+    bkgs = jnp.zeros_like(imgs)
+    pflags = jnp.zeros((T_BLOCK, H, W), jnp.uint8)
+    n_blocks = (T_SECTOR + T_BLOCK - 1) // T_BLOCK
+
+    def full_sector(masks):
+        # Piece decomposition is rebuilt per batch (masks change); patches
+        # live on device (ops.bandext builds them with a gather, no upload),
+        # and the per-block loop involves no further host<->device traffic:
+        masks_np = np.asarray(masks)
+        pieces = build_piece_patches(masks_np, r0s, c0s, (H, W))
+        outs = None
+        for _ in range(n_blocks):
+            outs = band_extract_flux_batch(imgs, errs, bkgs, pflags,
+                                           masks_np, r0s, c0s, h, w,
+                                           pieces=pieces)
+        return outs
 
     # warmup/compile (np.asarray forces completion — through the TPU tunnel,
     # block_until_ready alone does not reliably synchronise):
-    flux = np.asarray(full_extract())
-    # timed runs: reps stay queued on device (production is pipelined);
-    # one final fetch forces completion of the whole chain:
-    n_rep = 10
+    masks = all_masks()
+    np.asarray(masks[0])
+    _ = np.asarray(full_sector(masks)[0])
+
+    # timed: masks + piece decomposition + full-sector extraction, one fetch:
     tic = time.perf_counter()
-    for _ in range(n_rep):
-        out = full_extract()
-    flux = np.asarray(out)
-    dt = (time.perf_counter() - tic) / n_rep
-    return N / dt, flux
+    masks = all_masks()
+    out = full_sector(masks)
+    flux = np.asarray(out[0])
+    dt = time.perf_counter() - tic
+    stamp_bytes = N * T_SECTOR * h * w * (3 * 4 + 1)
+    return {
+        "rate": N / dt,
+        "seconds": dt,
+        "effective_gbps": stamp_bytes / dt / 1e9,
+        "flux": flux,
+    }
 
 
-def bench_reference_numpy(T, sumimage, rows, cols, n_targets=8, h=17, w=17):
-    """Single-target-at-a-time NumPy extraction (the reference's design)."""
+def bench_backgrounds(n_frames=16, tile=64):
+    """Secondary metric: FFI backgrounds/sec per CCD stack (prepare stage)."""
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, ".")
+    from photometry_tpu.ops.background import estimate_background, radial_coordinates
+
+    key = jax.random.PRNGKey(1)
+    imgs = 100.0 + 10.0 * jax.random.normal(key, (n_frames, H, W), jnp.float32)
+    imgs = imgs.block_until_ready()
+    radius = radial_coordinates((H, W), camera=1, ccd=1)
+    # warmup/compile:
+    bkg, _ = estimate_background(imgs, radius_image=radius, tile=tile)
+    np.asarray(bkg[0, 0, 0])
+    tic = time.perf_counter()
+    bkg, _ = estimate_background(imgs, radius_image=radius, tile=tile)
+    np.asarray(bkg[0, 0, 0])
+    dt = time.perf_counter() - tic
+    return n_frames / dt
+
+
+def bench_reference_numpy(sumimage, rows, cols, n_targets=2, h=STAMP, w=STAMP):
+    """Single-target-at-a-time NumPy extraction (the reference's design),
+    at the SAME full-sector T as the TPU measurement."""
     from scipy import ndimage
     from scipy.stats import gaussian_kde
-    H, W = sumimage.shape
-    rng = np.random.default_rng(1)
-    images = np.broadcast_to(sumimage, (T, H, W))
+    images = np.broadcast_to(sumimage, (T_SECTOR, H, W))
     N = min(n_targets, len(rows))
     tic = time.perf_counter()
     for i in range(N):
@@ -153,24 +211,35 @@ def bench_reference_numpy(T, sumimage, rows, cols, n_targets=8, h=17, w=17):
         lab, _ = ndimage.label(above, structure=np.ones((3, 3)))
         main = lab[h // 2, w // 2]
         mask = lab == main if main > 0 else np.zeros_like(above)
-        # per-frame masked sums, one frame at a time (reference hot loop):
-        out = np.empty(T)
-        for k in range(T):
+        # per-frame masked sums, one frame at a time (reference hot loop),
+        # incl. the error/background sums the reference also computes:
+        out = np.empty(T_SECTOR)
+        for k in range(T_SECTOR):
             stamp = images[k, r0:r0 + h, c0:c0 + w]
-            out[k] = np.nansum(stamp[mask])
+            vals = stamp[mask]
+            out[k] = np.nansum(vals)
+            _err = np.sqrt(np.nansum(np.abs(vals)))
+            _pos = vals[vals > 0]
     dt = time.perf_counter() - tic
     return N / dt
 
 
 def main():
-    T, sumimage, rows, cols, tmag = make_data()
-    tpu_rate, flux = bench_tpu(T, sumimage, rows, cols, tmag)
-    ref_rate = bench_reference_numpy(T, sumimage, rows, cols)
+    sumimage, rows, cols, tmag = make_field()
+    tpu = bench_tpu(sumimage, rows, cols, tmag)
+    bkg_rate = bench_backgrounds()
+    ref_rate = bench_reference_numpy(sumimage, rows, cols)
     result = {
         "metric": "aperture_extraction_targets_per_sec_per_chip",
-        "value": round(float(tpu_rate), 2),
+        "value": round(float(tpu["rate"]), 2),
         "unit": "targets/s",
-        "vs_baseline": round(float(tpu_rate / ref_rate), 2),
+        "vs_baseline": round(float(tpu["rate"] / ref_rate), 2),
+        "config": f"T={T_SECTOR} full-sector, N={N_TARGETS}, {H}x{W} CCD, "
+                  f"stamp {STAMP}px, f32 cubes, streamed {T_BLOCK}-frame "
+                  f"blocks, banded MXU extraction kernel",
+        "extraction_effective_gbps": round(float(tpu["effective_gbps"]), 2),
+        "backgrounds_per_sec_per_ccd_stack": round(float(bkg_rate), 2),
+        "cpu_baseline_targets_per_sec": round(float(ref_rate), 3),
     }
     print(json.dumps(result))
 

@@ -739,11 +739,18 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             masks_f[i, dr:dr + m.shape[0], dc:dc + m.shape[1]] = m
             r0s[i] = r0
             c0s[i] = c0
+        from ..ops.bandext import use_banded, band_extract_flux_batch
         if isinstance(ctx.images, np.ndarray):
             # Host-resident cube: stream time chunks through the device.
             flux, ferr, fbkg, cent, shen = _extract_flux_streamed(
                 ctx, jnp.asarray(masks_f), jnp.asarray(r0s), jnp.asarray(c0s),
                 bh, bw)
+        elif use_banded(ctx):
+            # Dense target batches on TPU: full-pass banded MXU kernel
+            # (~7x the scattered-gather formulation at 10k targets):
+            flux, ferr, fbkg, cent, shen = band_extract_flux_batch(
+                ctx.images, ctx.images_err, ctx.backgrounds, ctx.pixelflags,
+                masks_f, r0s, c0s, bh, bw)
         else:
             flux, ferr, fbkg, cent, shen = _extract_flux_batch(
                 ctx.images, ctx.images_err, ctx.backgrounds, ctx.pixelflags,
