@@ -41,6 +41,12 @@ DIST_MAX = 20.0
 STAMP_SIZE = 22
 MAXITER = 101
 LEARNING_RATE = 0.05
+#: Approximate calibrated flux of a saturated TESS pixel [e-/s]; used for
+#: the per-segment SAT_PIXELS diagnostic the reference gets from halophot's
+#: weightmap dict (halo_photometry.py:210-226).
+SATURATION_FLUX = 1.5e5
+#: Supported objective functions (halophot's tv/tv_o2/l2v/l3v variants).
+OBJECTIVES = ("tv", "tv_o2", "l2v", "l3v")
 
 #: Hard-coded downlink-gap split times per sector (halo_photometry.py:126-138).
 SECTOR_SPLITS = {
@@ -51,32 +57,50 @@ SECTOR_SPLITS = {
 }
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter",))
+@functools.partial(jax.jit, static_argnames=("maxiter", "objective"))
 def tvmin_weights(flux_norm, good_time, maxiter: int = MAXITER,
-                  lr: float = LEARNING_RATE):
-    """Optimise softmax pixel weights minimising total variation.
+                  lr: float = LEARNING_RATE, objective: str = "tv"):
+    """Optimise softmax pixel weights minimising a variation objective.
 
     Parameters:
         flux_norm: (T, P) per-pixel median-normalised fluxes (NaN-free;
             masked pixels should be exactly 1.0 with ``good_time`` handling
             outliers).
         good_time: (T,) bool — cadences that participate in the objective.
+        objective: one of halophot's variants —
+            ``tv``    sum |dF| / mean(F)          (first-order TV)
+            ``tv_o2`` sum |d2F| / mean(F)         (second-order TV)
+            ``l2v``   sum dF^2 / mean(F)
+            ``l3v``   sum |dF|^3 / mean(F)
 
     Returns:
-        (w, tv): (P,) weights summing to 1, and the final TV value.
+        (w, tv): (P,) weights summing to 1, and the final objective value.
     """
+    if objective not in OBJECTIVES:
+        raise ValueError(f"Invalid halo objective: '{objective}'")
     T, P = flux_norm.shape
     z0 = jnp.zeros(P, jnp.float32)
 
-    def objective(z):
+    def objective_fn(z):
         w = jax.nn.softmax(z)
         F = flux_norm @ w                      # (T,)
-        both = good_time[1:] & good_time[:-1]
-        dF = jnp.where(both, jnp.abs(F[1:] - F[:-1]), 0.0)
         mean_F = jnp.sum(jnp.where(good_time, F, 0.0)) / jnp.maximum(jnp.sum(good_time), 1)
-        return jnp.sum(dF) / jnp.maximum(mean_F, 1e-30)
+        if objective == "tv_o2":
+            ok = good_time[2:] & good_time[1:-1] & good_time[:-2]
+            d2 = jnp.where(ok, jnp.abs(F[2:] - 2 * F[1:-1] + F[:-2]), 0.0)
+            num = jnp.sum(d2)
+        else:
+            both = good_time[1:] & good_time[:-1]
+            dF = jnp.where(both, jnp.abs(F[1:] - F[:-1]), 0.0)
+            if objective == "l2v":
+                num = jnp.sum(dF * dF)
+            elif objective == "l3v":
+                num = jnp.sum(dF ** 3)
+            else:
+                num = jnp.sum(dF)
+        return num / jnp.maximum(mean_F, 1e-30)
 
-    grad_fn = jax.value_and_grad(objective)
+    grad_fn = jax.value_and_grad(objective_fn)
 
     # Adam:
     def step(state, _):
@@ -93,7 +117,7 @@ def tvmin_weights(flux_norm, good_time, maxiter: int = MAXITER,
     state0 = (z0, jnp.zeros(P), jnp.zeros(P), jnp.float32(0.0))
     (z, _, _, _), vals = jax.lax.scan(step, state0, None, length=maxiter)
     w = jax.nn.softmax(z)
-    return w, objective(z)
+    return w, objective_fn(z)
 
 
 def find_split_times(sector: int, time, timecorr) -> tuple:
@@ -118,8 +142,17 @@ def find_split_times(sector: int, time, timecorr) -> tuple:
     return splits
 
 
-def extract_halo_batch(ctx, starids, maxiter: int = MAXITER, **_kw) -> list:
-    """Halo photometry for a batch of targets on one context."""
+def extract_halo_batch(ctx, starids, maxiter: int = MAXITER,
+                       objective: str = "tv", sigclip: bool = False,
+                       **_kw) -> list:
+    """Halo photometry for a batch of targets on one context.
+
+    ``objective`` selects the halophot variation objective (tv / tv_o2 /
+    l2v / l3v); ``sigclip`` adds one sigma-clipping pass per segment: after
+    the first optimisation, cadences deviating >3 robust sigma from the
+    segment median flux are dropped from the objective and the weights
+    re-optimised (halophot's sigclip option, halo_photometry.py:87-97).
+    """
     from ..core.engine import TargetResult, _full_catalog_positions
     T = ctx.n_times
     H, W = ctx.shape
@@ -173,15 +206,31 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER, **_kw) -> list:
         wm_list, cad1_list, cad2_list, sat_list = [], [], [], []
         normfactor = float(np.asarray(mag2flux(tgt["tmag"])))
 
+        # Saturated pixels among the usable mask pixels (diagnostic the
+        # reference stores per segment via halophot's weightmap dict):
+        n_sat = int(np.sum(med > SATURATION_FLUX))
+
         for a, b in zip(edges[:-1], edges[1:]):
             seg = good_t & (ctx.time > a) & (ctx.time <= b)
             if seg.sum() < 3:
                 continue
             seg_idx = np.where(seg)[0]
-            gt = jnp.asarray((quality_ok & seg)[seg_idx])
-            wseg, tv = tvmin_weights(jnp.asarray(fn[seg_idx], jnp.float32), gt,
-                                     maxiter=maxiter)
+            gt = (quality_ok & seg)[seg_idx]
+            fseg = jnp.asarray(fn[seg_idx], jnp.float32)
+            wseg, tv = tvmin_weights(fseg, jnp.asarray(gt), maxiter=maxiter,
+                                     objective=objective)
             wseg = np.asarray(wseg, np.float64)
+            if sigclip:
+                # One robust-sigma clipping pass on the optimised flux:
+                F0 = fn[seg_idx] @ wseg
+                medF = np.nanmedian(F0[gt])
+                mad = 1.4826 * np.nanmedian(np.abs(F0[gt] - medF))
+                keep = gt & (np.abs(F0 - medF) <= 3.0 * max(mad, 1e-12))
+                if keep.sum() >= 3 and keep.sum() < gt.sum():
+                    wseg, tv = tvmin_weights(fseg, jnp.asarray(keep),
+                                             maxiter=maxiter,
+                                             objective=objective)
+                    wseg = np.asarray(wseg, np.float64)
             F = fn[seg_idx] @ wseg
             flux_out[seg_idx] = F * normfactor
             # weightmap in raw-flux units (w applied to raw pixel values):
@@ -195,7 +244,7 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER, **_kw) -> list:
             wm_list.append(wm.astype(np.float32))
             cad1_list.append(int(ctx.cadenceno[seg_idx[0]]))
             cad2_list.append(int(ctx.cadenceno[seg_idx[-1]]))
-            sat_list.append(int(0))
+            sat_list.append(n_sat)
 
         if not wm_list:
             results.append(TargetResult(
@@ -241,8 +290,9 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER, **_kw) -> list:
         }
         add_headers = {
             "HALO_VER": ("photometry-tpu", "Native JAX TV-min implementation"),
-            "HALO_OBJ": ("tv", "Halo objective function"),
+            "HALO_OBJ": (objective, "Halo objective function"),
             "HALO_MXI": (maxiter, "Halo max optimisation iterations"),
+            "HALO_SCL": (bool(sigclip), "Halo sigma clipping"),
         }
         t_i, tc_i = ctx.corrected_time(tgt["ra"], tgt["decl"])
         lc = {

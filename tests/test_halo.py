@@ -103,3 +103,59 @@ def test_halo_in_dispatcher_and_save(halo_setup, tmp_path):
     assert "WEIGHTMAP" in names
     wm = hdus[names.index("WEIGHTMAP")]
     assert wm.data["WEIGHTMAP"].ndim == 3
+
+
+@pytest.mark.parametrize("objective", ["tv", "tv_o2", "l2v", "l3v"])
+def test_tvmin_objective_variants(objective):
+    """Every halophot objective variant converges to the clean pixels
+    (halo_photometry.py:87-97 objective option)."""
+    rng = np.random.default_rng(4)
+    T, P = 150, 8
+    signal = 1.0 + 0.01 * np.sin(np.linspace(0, 6 * np.pi, T))
+    fn = np.empty((T, P))
+    for p in range(P):
+        noise = 0.001 if p < 4 else 0.1
+        fn[:, p] = signal * (1 + rng.normal(0, noise, T))
+    w, val = tvmin_weights(jnp.asarray(fn, jnp.float32), jnp.ones(T, bool),
+                           objective=objective)
+    w = np.asarray(w)
+    assert w.sum() == pytest.approx(1.0, rel=1e-5)
+    assert w[:4].sum() > 0.8, f"{objective}: weights {w}"
+    assert np.isfinite(float(val))
+
+
+def test_tvmin_invalid_objective():
+    with pytest.raises(ValueError, match="Invalid halo objective"):
+        tvmin_weights(jnp.ones((10, 3)), jnp.ones(10, bool), objective="nope")
+
+
+def test_halo_objective_and_sigclip_on_saturated_sim(halo_setup):
+    """Objective/sigclip options flow through extraction; SAT_PIXELS counts
+    pixels above the saturation flux (halo_photometry.py:210-226)."""
+    from photometry_tpu.models import halo as halo_mod
+    sim, ctx = halo_setup
+    bright = int(sim.starid[np.argmin(sim.tmag)])
+    for objective in ("tv_o2", "l2v"):
+        res = extract_halo_batch(ctx, [bright], maxiter=41,
+                                 objective=objective, sigclip=True)[0]
+        assert res.status == STATUS.OK
+        assert res.additional_headers["HALO_OBJ"][0] == objective
+        assert res.additional_headers["HALO_SCL"][0] is True
+        wm = res.details["halo_weightmap"]
+        assert all(s >= 0 for s in wm["sat_pixels"])
+
+    # Saturate the cube around the target and check SAT_PIXELS > 0:
+    import jax.numpy as jnp2
+    tgt = ctx.catalog.target(bright)
+    row, col = ctx.target_position(tgt["ra"], tgt["decl"])
+    r, c = int(round(row)), int(round(col))
+    images = np.array(ctx.images)  # writable copy
+    images[:, r - 1:r + 2, c - 1:c + 2] = 2.0 * halo_mod.SATURATION_FLUX
+    old = ctx.images
+    ctx.images = jnp2.asarray(images)
+    try:
+        res = extract_halo_batch(ctx, [bright], maxiter=21)[0]
+        wm = res.details["halo_weightmap"]
+        assert all(s >= 9 for s in wm["sat_pixels"]), wm["sat_pixels"]
+    finally:
+        ctx.images = old
