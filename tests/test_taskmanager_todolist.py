@@ -221,3 +221,74 @@ def test_build_constraints():
 def test_taskmanager_missing_file(tmp_path):
     with pytest.raises(FileNotFoundError):
         TaskManager(str(tmp_path / "nope.sqlite"))
+
+
+@pytest.mark.slow
+def test_queue_at_reference_scale(tmp_path):
+    """Queue behavior at the reference's scale anchor: 168,642 tasks
+    (reference tests/test_taskmanager.py:45) — batch leasing, result saving
+    with skip arbitration, in-memory backups, and a measured tasks/sec."""
+    import time as _time
+    n_tasks = 168_642
+    todo = str(tmp_path / "todo.sqlite")
+    rng = np.random.default_rng(7)
+    tmag = np.sort(rng.uniform(2.0, 15.0, n_tasks))
+    with sqlite3.connect(todo) as conn:
+        cur = conn.cursor()
+        cur.execute("""CREATE TABLE todolist (
+            priority INTEGER PRIMARY KEY ASC NOT NULL,
+            starid INTEGER NOT NULL,
+            sector INTEGER NOT NULL,
+            datasource TEXT NOT NULL DEFAULT 'ffi',
+            camera INTEGER NOT NULL,
+            ccd INTEGER NOT NULL,
+            cadence INTEGER NOT NULL,
+            method TEXT DEFAULT NULL,
+            tmag REAL,
+            status INTEGER DEFAULT NULL,
+            cbv_area INTEGER NOT NULL);""")
+        cur.executemany(
+            "INSERT INTO todolist (priority,starid,sector,camera,ccd,cadence,"
+            "datasource,tmag,cbv_area) VALUES (?,?,?,?,?,?,?,?,?);",
+            ((i + 1, 100000 + i, 1, 3, 2, 1800, "ffi", float(tmag[i]), 132)
+             for i in range(n_tasks)))
+        cur.execute("CREATE UNIQUE INDEX unique_target_idx ON todolist "
+                    "(starid, datasource, sector, camera, ccd, cadence);")
+        cur.execute("CREATE INDEX status_idx ON todolist (status);")
+        conn.commit()
+
+    n_process = 20_000
+    batch = 512
+    tic = _time.perf_counter()
+    with TaskManager(todo, cleanup=True, load_into_memory=True,
+                     backup_interval=10_000) as tm:
+        assert tm.get_number_tasks() == n_tasks
+        done = 0
+        while done < n_process:
+            tasks = tm.get_task_batch(batch_size=batch)
+            assert tasks, "queue starved early"
+            tm.start_tasks([t["priority"] for t in tasks])
+            results = [_fake_result(t) for t in tasks]
+            # a couple of results carry skip_targets to exercise arbitration:
+            results[0]["details"]["skip_targets"] = [results[1]["starid"]]
+            tm.save_results(results)
+            done += len(tasks)
+        remaining = tm.get_number_tasks()
+    dt = _time.perf_counter() - tic
+    rate = n_process / dt
+    # Reopen from disk: the backup must carry the saved statuses:
+    with sqlite3.connect(todo) as conn:
+        n_done = conn.execute(
+            "SELECT COUNT(*) FROM todolist WHERE status IS NOT NULL;").fetchone()[0]
+        n_diag = conn.execute("SELECT COUNT(*) FROM diagnostics;").fetchone()[0]
+        n_skip = conn.execute(
+            "SELECT COUNT(*) FROM photometry_skipped;").fetchone()[0]
+    assert n_done >= n_process - batch  # last partial backup may lag one interval
+    assert n_diag > 0 and n_skip > 0
+    # skip arbitration marks additional co-mask tasks SKIPPED, so at most
+    # n_tasks - n_process remain:
+    assert remaining <= n_tasks - n_process
+    # Throughput: well above what any worker fleet needs from the master
+    # (reference's per-task elaptime is seconds; require >2000 tasks/s here):
+    assert rate > 2000, f"queue throughput too low: {rate:.0f} tasks/s"
+    print(f"queue throughput: {rate:.0f} tasks/s over {n_process} of {n_tasks}")
