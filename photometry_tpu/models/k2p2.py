@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.filters import gaussian_blur2d
-from ..ops.labeling import label_components, watershed_segment
+from ..ops.labeling import dbscan_labels, label_components, watershed_segment
 
 __all__ = ["K2P2Params", "build_mask", "build_masks_batch"]
 
@@ -165,6 +165,37 @@ def _catalog_markers(blurred, above_cut, cat_col, cat_row, cat_tmag, cat_valid,
     return markers_flat[:-1].reshape(H, W)
 
 
+def _saturated_pixel_map(sumimage, above):
+    """Columns whose above-cut pixels form a bleed trail (k2p2_saturated
+    criterion: |median row-to-row difference| < 1% of the column peak),
+    as a pixel map restricted to the above-cut region."""
+    vals = jnp.where(above, sumimage, jnp.nan)
+    diffs = vals[1:, :] - vals[:-1, :]
+    colmax = jnp.nanmax(vals, axis=0)
+    ratio = jnp.abs(jnp.nanmedian(diffs, axis=0)) / colmax
+    n_col = jnp.sum(above, axis=0)
+    sat_col = (n_col >= 3) & (ratio < 0.01)
+    return above & sat_col[None, :]
+
+
+def _clean_saturated_markers(markers, blurred, sat_map):
+    """Within each connected patch of saturated pixels keep only the marker
+    at the highest blurred flux (ties broken by flat index) — reference
+    k2p2v2.py:193-218."""
+    H, W = markers.shape
+    HW = H * W
+    nseg = HW // 2 + 2
+    patch = label_components(sat_map).ravel()
+    is_m = (markers.ravel() > 0) & (patch > 0)
+    score = jnp.where(is_m, blurred.ravel(), -jnp.inf)
+    best = jax.ops.segment_max(score, patch, num_segments=nseg)
+    cand = is_m & (score >= best[patch])
+    idxs = jnp.where(cand, jnp.arange(HW), HW)
+    first = jax.ops.segment_min(idxs, patch, num_segments=nseg)
+    keep = ~is_m | (cand & (jnp.arange(HW) == first[patch]))
+    return jnp.where(keep.reshape(H, W), markers, 0)
+
+
 # ---------------------------------------------------------------------------
 # Saturated columns / overflow lanes
 # ---------------------------------------------------------------------------
@@ -258,18 +289,20 @@ def build_mask(sumimage, cat_col, cat_row, cat_tmag, cat_starid, cat_valid,
     cut, bw, any_flux = _threshold(sumimage, params)
     above = jnp.where(jnp.isfinite(sumimage), sumimage > cut, False)
 
-    # Connected components + cluster size cut (DBSCAN analogue):
-    labels = label_components(above, connectivity=2)
-    sizes = jax.ops.segment_sum(jnp.ones_like(labels.ravel(), jnp.float32),
-                                labels.ravel(), num_segments=H * W // 2 + 2)
-    big_enough = sizes[labels] >= params.min_for_cluster
-    above2 = above & big_enough & (labels > 0)
+    # DBSCAN(eps=sqrt(2), min_samples) clustering with the exact core/border
+    # rule (k2p2v2.py:63-86); noise pixels are dropped:
+    labels = dbscan_labels(above, min_samples=params.min_for_cluster)
+    above2 = above & (labels > 0)
 
     if params.segmentation:
         flux_above = jnp.where(above2, jnp.nan_to_num(sumimage), 0.0)
         blurred = gaussian_blur2d(flux_above, params.ws_blur)
         markers = _catalog_markers(blurred, above2, cat_col, cat_row, cat_tmag,
                                    cat_valid, params)
+        # Saturated-maxima cleaning: a connected patch of saturated (bleed)
+        # pixels keeps only its single best marker (k2p2v2.py:193-218):
+        sat_map = _saturated_pixel_map(sumimage, above2)
+        markers = _clean_saturated_markers(markers, blurred, sat_map)
         seg = watershed_segment(blurred, markers, above2)
     else:
         seg = jnp.where(above2, labels, 0)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["label_components", "watershed_segment"]
+__all__ = ["label_components", "watershed_segment", "dbscan_labels"]
 
 _INF = jnp.inf
 
@@ -79,6 +79,42 @@ def label_components(mask, connectivity: int = 2, max_iters: int = 4096):
     root_idx = jnp.where(jnp.isinf(flat), 0, flat).astype(jnp.int32)
     labels = jnp.where(mask.ravel(), comp_rank[root_idx], 0)
     return labels.reshape(H, W).astype(jnp.int32)
+
+
+def dbscan_labels(mask, min_samples: int = 4, max_iters: int = 4096):
+    """Exact DBSCAN(eps=sqrt(2), min_samples) on a pixel grid.
+
+    Reference k2p2v2.py:63-86 runs sklearn DBSCAN on the above-threshold
+    pixel coordinates.  On a grid with eps just above sqrt(2), the
+    eps-neighborhood is the 3x3 block (self included), so:
+
+    - core points:   mask pixels with >= min_samples mask pixels in their
+      3x3 neighborhood (self included);
+    - clusters:      8-connected components of the core points;
+    - border points: non-core mask pixels 8-adjacent to a core point; they
+      join the smallest-labeled adjacent cluster (sklearn assigns them to
+      whichever core reaches them first — only ambiguous for pixels
+      touching two clusters, where we pick deterministically);
+    - everything else is noise (label 0) — the rule the plain
+      component-size cut missed (it kept line-shaped structures whose
+      pixels all have < min_samples neighbors).
+
+    Returns int32 labels, 0 = noise/background.
+    """
+    mask = jnp.asarray(mask, bool)
+    H, W = mask.shape
+    m = mask.astype(jnp.float32)
+    p = jnp.pad(m, 1)
+    cnt = jnp.zeros((H, W), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            cnt = cnt + jax.lax.dynamic_slice(p, (dy, dx), (H, W))
+    core = mask & (cnt >= min_samples)
+    lab_core = label_components(core, connectivity=2, max_iters=max_iters)
+    nb = _neighbor_min(lab_core.astype(jnp.float32), core)
+    border = mask & ~core & jnp.isfinite(nb)
+    return jnp.where(core, lab_core,
+                     jnp.where(border, nb, 0.0).astype(jnp.int32))
 
 
 def _neighbor_best(priority, labels, connectivity: int = 2):

@@ -154,3 +154,34 @@ def test_lightcurve_file_roundtrip(setup, tmp_path):
     row, col = w.rowcol_of_radec(np.array([res.target["ra"]]), np.array([res.target["decl"]]))
     s = res.stamp
     assert s[0] <= row[0] + s[0] <= s[1]  # position is stamp-relative
+
+
+def test_isolated_star_flux_within_5_percent(setup):
+    """Photometric parity: isolated, uncontaminated stars of moderate
+    brightness recover the injected flux to within ±5% (VERDICT r1 item 7).
+
+    Conditions: nearest catalog neighbour > 12 px, contamination exactly 0,
+    no co-mask targets, a sane mask size (a mask tens of pixels larger than
+    the PSF means the watershed legitimately absorbed a neighbour's wings),
+    and tmag < 12 (fainter stars systematically lose threshold-clipped wing
+    flux — an inherent property of K2P2 aperture photometry, shared with
+    the reference)."""
+    sim, d, ctx = setup
+    checked = 0
+    for i, sid in enumerate(sim.starid):
+        dr = np.hypot(sim.row_ref - sim.row_ref[i], sim.col_ref - sim.col_ref[i])
+        dr[i] = np.inf
+        if dr.min() < 12.0 or sim.tmag[i] >= 12.0:
+            continue
+        res = extract_aperture_batch(ctx, [int(sid)])[0]
+        if res.status not in (STATUS.OK, STATUS.WARNING):
+            continue
+        if res.details.get("contamination", 0) > 0.0 or res.skip_targets:
+            continue
+        if res.details["mask_size"] > 100:
+            continue
+        truth = sim.flux_true[i]
+        ratio = float(np.nanmedian(res.lightcurve["flux"] / truth))
+        assert 0.95 < ratio < 1.05, f"star {sid}: ratio {ratio}"
+        checked += 1
+    assert checked >= 4, "corpus has too few isolated stars"
