@@ -158,7 +158,22 @@ class PRF:
 
         Pure-JAX, arbitrary broadcastable shapes. This is the kernel
         replacing ``splineInterpolation.integral`` (reference psf.py:143-146).
+
+        Analytic (Gaussian) PRFs evaluate with ``erf`` directly — the
+        table-gather path costs a 16-point gather per evaluation, which
+        dominates the LM PSF fit on TPU (gathers serialize); the erf path is
+        pure element-wise FMA and also exact (the table is sampled from the
+        same function).
         """
+        sigma = self.info.get("sigma")
+        if sigma is not None:
+            from jax.scipy.special import erf
+            d = jnp.float32(np.sqrt(2.0) * sigma)
+            dy = jnp.asarray(drow, jnp.float32)
+            dx = jnp.asarray(dcol, jnp.float32)
+            ey = erf((dy + 0.5) / d) - erf((dy - 0.5) / d)
+            ex = erf((dx + 0.5) / d) - erf((dx - 0.5) / d)
+            return 0.25 * ey * ex
         y = jnp.asarray(drow) * self.oversample + self.center_y
         x = jnp.asarray(dcol) * self.oversample + self.center_x
         # Out-of-table offsets carry no flux:
