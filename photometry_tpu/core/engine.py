@@ -94,8 +94,9 @@ class SectorContext:
         self.time_corrector = time_corrector
         #: Device dtype for the image cubes. ``jnp.bfloat16`` halves HBM
         #: residency and read bandwidth (sums still accumulate in float32);
-        #: at ~0.4% per-pixel quantisation it is a *preview-quality* mode —
-        #: keep float32 (default) for science products.
+        #: sector-scale distributional flux error vs f32 is ~0.1% at the
+        #: 99th percentile (tests/test_engine_extras.py) — a
+        #: *preview-quality* mode; keep float32 (default) for science.
         self.cube_dtype = cube_dtype
         self.input_folder = input_folder
         self.sector = sector
