@@ -56,7 +56,7 @@ def use_banded(ctx) -> bool:
     images = getattr(ctx, "images", None)
     if images is None or isinstance(images, np.ndarray):
         return False
-    if images.dtype != jnp.float32:
+    if images.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if not bands_supported(ctx.shape):
         return False
@@ -172,7 +172,7 @@ def _band_kernel(img_ref, err_ref, bkg_ref, flg_ref, p_ref, out_ref):
     effective, ~7x the scattered-gather formulation at 10k targets).
     """
     K = BH * TW
-    x = img_ref[...].reshape(img_ref.shape[0], K)  # (T_b, K)
+    x = img_ref[...].reshape(img_ref.shape[0], K).astype(jnp.float32)  # (T_b, K)
     fin = jnp.isfinite(x)
     x0 = jnp.where(fin, x, 0.0)
     rx = jnp.maximum(x0, 0.0)
@@ -180,9 +180,9 @@ def _band_kernel(img_ref, err_ref, bkg_ref, flg_ref, p_ref, out_ref):
     k_io = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     l_io = (k_io % TW).astype(jnp.float32)
     r_io = (k_io // TW).astype(jnp.float32)
-    e = err_ref[...].reshape(x.shape)
+    e = err_ref[...].reshape(x.shape).astype(jnp.float32)
     e0 = jnp.where(jnp.isfinite(e), e, 0.0)
-    b = bkg_ref[...].reshape(x.shape)
+    b = bkg_ref[...].reshape(x.shape).astype(jnp.float32)
     finb = jnp.isfinite(b)
     b0 = jnp.where(finb, b, 0.0)
     sh = (flg_ref[...].reshape(x.shape)

@@ -101,3 +101,21 @@ def test_bands_supported():
                                 np.ones((1, 5, 5), bool),
                                 np.array([0], np.int32),
                                 np.array([0], np.int32), 5, 5, interpret=True)
+
+
+def test_band_bf16_cubes():
+    """bfloat16 cubes run through the band kernel (f32 accumulation) with
+    preview-grade accuracy; supported for HBM-capacity reasons (measured on
+    TPU: no speed gain — the kernel is MXU/VPU-bound, not bandwidth-bound)."""
+    imgs, errs, bkgs, pflags, masks, r0s, c0s = _inputs()
+    h, w = masks.shape[1:]
+    i16 = jnp.asarray(imgs, jnp.bfloat16)
+    e16 = jnp.asarray(errs, jnp.bfloat16)
+    b16 = jnp.asarray(bkgs, jnp.bfloat16)
+    got = band_extract_flux_batch(i16, e16, b16, pflags, masks, r0s, c0s,
+                                  h, w, t_block=8, interpret=True)
+    want = band_extract_flux_batch(imgs, errs, bkgs, pflags, masks, r0s, c0s,
+                                   h, w, t_block=8, interpret=True)
+    f16, f32 = np.asarray(got[0]), np.asarray(want[0])
+    ok = np.isfinite(f32)
+    assert np.nanmax(np.abs(f16[ok] / f32[ok] - 1)) < 5e-3
