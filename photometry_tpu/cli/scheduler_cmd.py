@@ -25,10 +25,29 @@ def main(argv=None) -> int:
     parser.add_argument("--ccd", type=int, default=None)
     parser.add_argument("--datasource", default=None, choices=("ffi", "tpf"))
     parser.add_argument("-o", "--output", default=None)
+    parser.add_argument("--listen", default=None, metavar="[HOST:]PORT",
+                        help="Master for cross-host workers: accept --workers "
+                             "TCP connections instead of spawning local ones.")
+    parser.add_argument("--connect", default=None, metavar="HOST:PORT",
+                        help="Run as a remote worker joining the master at "
+                             "HOST:PORT (no master loop on this host).")
     parser.add_argument("input_folder", nargs="?", default=None)
     args = parser.parse_args(argv)
     setup_logging(args)
     input_folder = resolve_input_folder(args.input_folder)
+
+    if args.connect:
+        host, port = args.connect.rsplit(":", 1)
+        from ..parallel.scheduler import worker_remote
+        worker_remote((host, int(port)), input_folder,
+                      output_folder=args.output, version=args.version,
+                      platform=getattr(args, "jax_platform", None))
+        return 0
+
+    listen = None
+    if args.listen:
+        host, _, port = args.listen.rpartition(":")
+        listen = (host or "0.0.0.0", int(port))
 
     from ..parallel.scheduler import run_distributed
     constraints = {}
@@ -41,7 +60,8 @@ def main(argv=None) -> int:
     summary = run_distributed(
         input_folder, n_workers=args.workers, version=args.version,
         output_folder=args.output, batch_size=args.batch_size,
-        platform=getattr(args, "jax_platform", None), **constraints)
+        platform=getattr(args, "jax_platform", None), listen=listen,
+        **constraints)
     print(json.dumps(summary))
     return 0
 

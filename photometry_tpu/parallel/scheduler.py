@@ -8,13 +8,23 @@ run_tessphot_mpi.py:74; loop at :112-142/:151-209).  Pull scheduling
 self-balances heterogeneous task times; only the master touches the TODO
 database; killed runs recover via the STARTED-reset on restart.
 
-Re-design for the TPU fleet: MPI ranks become spawned worker *processes*
-(one per host/chip — no mpi4py dependency), messages ride
-``multiprocessing`` pipes, and the unit of work is a **task batch** sharing
-one device context (hundreds of targets per lease) instead of a single star,
-so each worker amortises one jitted program across the batch.  Workers write
-their own light-curve files; only small result dicts return to the master,
-exactly like the reference's design where bulk data never crosses ranks.
+Re-design for the TPU fleet: MPI ranks become worker *processes* (one per
+host/chip — no mpi4py dependency), and the unit of work is a **task batch**
+sharing one device context (hundreds of targets per lease) instead of a
+single star, so each worker amortises one jitted program across the batch.
+Workers write their own light-curve files; only small result dicts return
+to the master, exactly like the reference's design where bulk data never
+crosses ranks.
+
+Two interchangeable transports carry the READY/START/DONE/EXIT messages
+(SURVEY §5 maps MPI point-to-point onto a coordinator over hosts):
+
+- local mode (default): spawned processes over ``multiprocessing`` pipes;
+- cross-host mode: the master listens on TCP
+  (``run_distributed(listen=(host, port), n_workers=N)``) and remote hosts
+  join with :func:`worker_remote` / ``scheduler_cmd --connect host:port`` —
+  the DCN seam for a real fleet.  Both transports expose the same
+  ``send``/``recv`` connection API, so the master loop is transport-blind.
 """
 
 from __future__ import annotations
@@ -28,7 +38,14 @@ from typing import Optional
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["run_distributed", "worker_loop"]
+__all__ = ["run_distributed", "worker_loop", "worker_remote"]
+
+#: Shared secret for the TCP transport handshake (override per deployment).
+_AUTHKEY_ENV = "PHOTOMETRY_TPU_SECRET"
+
+
+def _authkey() -> bytes:
+    return os.environ.get(_AUTHKEY_ENV, "photometry-tpu").encode()
 
 # Message tags (run_tessphot_mpi.py:74):
 READY, START, DONE, EXIT = "READY", "START", "DONE", "EXIT"
@@ -102,13 +119,40 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
         conn.send((DONE, results))
 
 
+def worker_remote(address, input_folder: str,
+                  output_folder: Optional[str] = None, version: int = 1,
+                  platform: Optional[str] = None, connect_timeout: float = 60.0):
+    """Join a master listening at ``address`` = (host, port) over TCP.
+
+    The cross-host (DCN) worker entry point: connects (retrying until the
+    master's listener is up, like MPI ranks waiting at init), then runs the
+    same READY/START/DONE/EXIT protocol as a local worker.  Paths are this
+    host's own view of the shared filesystem (like MPI ranks on a cluster).
+    """
+    import time
+    from multiprocessing.connection import Client
+    deadline = default_timer() + connect_timeout
+    while True:
+        try:
+            conn = Client(tuple(address), authkey=_authkey())
+            break
+        except (ConnectionRefusedError, OSError):
+            if default_timer() > deadline:
+                raise
+            time.sleep(0.25)
+    worker_loop(conn, input_folder, output_folder, version, platform)
+
+
 def run_distributed(input_folder: str, n_workers: int = 2,
                     version: int = 1, output_folder: Optional[str] = None,
                     batch_size: int = 256, platform: Optional[str] = None,
-                    summary: Optional[str] = None, **constraints) -> dict:
-    """Master loop: lease batches to worker processes until the queue drains.
+                    summary: Optional[str] = None, listen=None,
+                    **constraints) -> dict:
+    """Master loop: lease batches to workers until the queue drains.
 
-    Returns the final summary dict.
+    With ``listen=(host, port)`` the master accepts ``n_workers`` TCP
+    connections from :func:`worker_remote` processes on any host instead of
+    spawning local ones.  Returns the final summary dict.
     """
     from ..core.status import STATUS
     from ..taskmanager import TaskManager
@@ -120,13 +164,23 @@ def run_distributed(input_folder: str, n_workers: int = 2,
     with TaskManager(input_folder, cleanup=True, load_into_memory=True,
                      summary=summary) as tm:
         workers = []
-        for _ in range(n_workers):
-            parent_conn, child_conn = mp.Pipe()
-            proc = mp.Process(target=worker_loop,
-                              args=(child_conn, input_folder, output_folder,
-                                    version, platform))
-            proc.start()
-            workers.append({"proc": proc, "conn": parent_conn, "alive": True})
+        if listen is not None:
+            from multiprocessing.connection import Listener
+            with Listener(tuple(listen), authkey=_authkey()) as listener:
+                logger.info("Waiting for %d remote workers on %s...",
+                            n_workers, listen)
+                for _ in range(n_workers):
+                    conn = listener.accept()
+                    logger.info("Worker joined from %s", listener.last_accepted)
+                    workers.append({"proc": None, "conn": conn, "alive": True})
+        else:
+            for _ in range(n_workers):
+                parent_conn, child_conn = mp.Pipe()
+                proc = mp.Process(target=worker_loop,
+                                  args=(child_conn, input_folder, output_folder,
+                                        version, platform))
+                proc.start()
+                workers.append({"proc": proc, "conn": parent_conn, "alive": True})
 
         n_active = len(workers)
         import multiprocessing.connection as mpc
@@ -138,7 +192,8 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                 # hangs here — run_tessphot_mpi.py:198 known limitation; we
                 # instead reclaim their leases via the STARTED-reset).
                 for w in workers:
-                    if w["alive"] and not w["proc"].is_alive():
+                    if (w["alive"] and w["proc"] is not None
+                            and not w["proc"].is_alive()):
                         logger.error("Worker died; its leased tasks will be "
                                      "reset on next startup.")
                         w["alive"] = False
@@ -167,6 +222,9 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                         n_active -= 1
 
         for w in workers:
+            if w["proc"] is None:      # remote worker: just drop the socket
+                w["conn"].close()
+                continue
             w["proc"].join(timeout=30)
             if w["proc"].is_alive():  # pragma: no cover
                 w["proc"].terminate()

@@ -143,3 +143,45 @@ def test_graft_entry_runs():
     jax.block_until_ready(out)
     assert out[0].shape == (4, 8)
     g.dryrun_multichip(len(jax.devices()))
+
+
+@pytest.mark.mpi
+def test_distributed_scheduler_tcp_transport(prepared_dir):
+    """Cross-host (DCN) transport: master listens on TCP, workers join as
+    remote processes (SURVEY §5: MPI point-to-point -> coordinator over
+    hosts). Same pull-model protocol, queue drains over sockets."""
+    import multiprocessing
+    import socket
+    sim, d = prepared_dir
+    # reopen the queue fresh (the pipe-transport test already drained it):
+    with sqlite3.connect(os.path.join(d, "todo.sqlite")) as conn:
+        conn.execute("UPDATE todolist SET status=NULL;")
+        conn.execute("DROP TABLE IF EXISTS diagnostics;")
+        conn.execute("DROP TABLE IF EXISTS photometry_skipped;")
+        conn.commit()
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    from photometry_tpu.parallel.scheduler import run_distributed, worker_remote
+    mp = multiprocessing.get_context("spawn")
+    procs = [mp.Process(target=worker_remote,
+                        args=(("127.0.0.1", port), d),
+                        kwargs={"version": 4, "platform": "cpu"})
+             for _ in range(2)]
+    for p in procs:
+        p.start()
+    try:
+        summary = run_distributed(d, n_workers=2, version=4, batch_size=5,
+                                  platform="cpu",
+                                  listen=("127.0.0.1", port))
+    finally:
+        for p in procs:
+            p.join(timeout=60)
+            if p.is_alive():
+                p.terminate()
+    assert summary["OK"] + summary["WARNING"] + summary["SKIPPED"] >= \
+        0.9 * summary["numtasks"]
+    with sqlite3.connect(os.path.join(d, "todo.sqlite")) as conn:
+        pending = conn.execute(
+            "SELECT COUNT(*) FROM todolist WHERE status IS NULL;").fetchone()[0]
+        assert pending == 0
