@@ -83,6 +83,13 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
             return
         assert tag == START
         batch = payload
+        # Test hook: crash exactly once after receiving a lease (exercises
+        # the master's respawn + lease-reclaim path; marker file gates it):
+        marker = os.environ.get("PHOTOMETRY_TPU_TEST_CRASH_ONCE")
+        if marker and not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+            os._exit(17)
         worker_wait_time = default_timer() - tic_wait
         tic = default_timer()
         results = []
@@ -147,12 +154,15 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                     version: int = 1, output_folder: Optional[str] = None,
                     batch_size: int = 256, platform: Optional[str] = None,
                     summary: Optional[str] = None, listen=None,
-                    **constraints) -> dict:
+                    max_respawns: int = 3, **constraints) -> dict:
     """Master loop: lease batches to workers until the queue drains.
 
     With ``listen=(host, port)`` the master accepts ``n_workers`` TCP
     connections from :func:`worker_remote` processes on any host instead of
-    spawning local ones.  Returns the final summary dict.
+    spawning local ones.  A local worker that dies mid-batch has its lease
+    returned to the queue and is replaced (up to ``max_respawns`` times) —
+    the reference's MPI master hangs in this situation
+    (run_tessphot_mpi.py:198).  Returns the final summary dict.
     """
     from ..core.status import STATUS
     from ..taskmanager import TaskManager
@@ -183,31 +193,55 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                 workers.append({"proc": proc, "conn": parent_conn, "alive": True})
 
         n_active = len(workers)
+        respawns_left = max_respawns
+
+        def _spawn_local():
+            parent_conn, child_conn = mp.Pipe()
+            proc = mp.Process(target=worker_loop,
+                              args=(child_conn, input_folder, output_folder,
+                                    version, platform))
+            proc.start()
+            return {"proc": proc, "conn": parent_conn, "alive": True}
+
+        def _reap(w):
+            """Worker died: reclaim its lease, respawn a local replacement."""
+            nonlocal n_active, respawns_left
+            w["alive"] = False
+            n_active -= 1
+            leased = w.pop("batch", None)
+            if leased:
+                n = tm.release_tasks([t["priority"] for t in leased])
+                logger.error("Worker died mid-batch; released %d leased "
+                             "task(s) back to the queue.", n)
+            if w["proc"] is not None and respawns_left > 0:
+                respawns_left -= 1
+                workers.append(_spawn_local())
+                n_active += 1
+                logger.warning("Respawned a replacement worker "
+                               "(%d respawns left).", respawns_left)
+
         import multiprocessing.connection as mpc
         while n_active > 0:
             conns = [w["conn"] for w in workers if w["alive"]]
             ready = mpc.wait(conns, timeout=60.0)
             if not ready:
-                # Heartbeat timeout: check for dead workers (the reference
-                # hangs here — run_tessphot_mpi.py:198 known limitation; we
-                # instead reclaim their leases via the STARTED-reset).
-                for w in workers:
+                # Heartbeat timeout: check for dead local workers (the
+                # reference hangs here — run_tessphot_mpi.py:198 known
+                # limitation).
+                for w in list(workers):
                     if (w["alive"] and w["proc"] is not None
                             and not w["proc"].is_alive()):
-                        logger.error("Worker died; its leased tasks will be "
-                                     "reset on next startup.")
-                        w["alive"] = False
-                        n_active -= 1
+                        _reap(w)
                 continue
             for conn in ready:
                 w = next(x for x in workers if x["conn"] is conn)
                 try:
                     tag, payload = conn.recv()
                 except (EOFError, OSError):
-                    w["alive"] = False
-                    n_active -= 1
+                    _reap(w)
                     continue
                 if tag == DONE:
+                    w.pop("batch", None)
                     for r in payload:
                         r["status"] = STATUS(r["status"])
                         tm.save_result(r)
@@ -215,6 +249,7 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                     batch = tm.get_task_batch(batch_size=batch_size, **constraints)
                     if batch:
                         tm.start_tasks([t["priority"] for t in batch])
+                        w["batch"] = batch
                         conn.send((START, batch))
                     else:
                         conn.send((EXIT, None))

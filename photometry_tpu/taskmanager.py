@@ -312,6 +312,19 @@ class TaskManager:
         self.conn.commit()
         self.summary["STARTED"] += len(taskids)
 
+    def release_tasks(self, taskids):
+        """Return leased (STARTED) tasks to the queue — used when a worker
+        dies mid-batch so another worker can pick its lease up immediately
+        (in-run form of the startup STARTED-reset, taskmanager.py:257-272)."""
+        rows = [(int(t),) for t in taskids]
+        self.cursor.executemany(
+            f"UPDATE todolist SET status=NULL WHERE priority=? "
+            f"AND status={STATUS.STARTED.value:d};", rows)
+        released = max(self.cursor.rowcount, 0)
+        self.conn.commit()
+        self.summary["STARTED"] = max(self.summary["STARTED"] - released, 0)
+        return released
+
     # ------------------------------------------------------------------ results
     def save_result(self, result: dict):
         """Persist one result: status, skip arbitration, diagnostics row."""

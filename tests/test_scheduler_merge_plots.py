@@ -185,3 +185,29 @@ def test_distributed_scheduler_tcp_transport(prepared_dir):
         pending = conn.execute(
             "SELECT COUNT(*) FROM todolist WHERE status IS NULL;").fetchone()[0]
         assert pending == 0
+
+
+@pytest.mark.mpi
+def test_worker_crash_respawn(prepared_dir, tmp_path, monkeypatch):
+    """A worker crashing mid-batch has its lease reclaimed and a replacement
+    spawned; the queue still drains (the reference's MPI master hangs —
+    run_tessphot_mpi.py:198)."""
+    sim, d = prepared_dir
+    with sqlite3.connect(os.path.join(d, "todo.sqlite")) as conn:
+        conn.execute("UPDATE todolist SET status=NULL;")
+        conn.execute("DROP TABLE IF EXISTS diagnostics;")
+        conn.execute("DROP TABLE IF EXISTS photometry_skipped;")
+        conn.commit()
+    marker = str(tmp_path / "crash_once")
+    monkeypatch.setenv("PHOTOMETRY_TPU_TEST_CRASH_ONCE", marker)
+    from photometry_tpu.parallel.scheduler import run_distributed
+    summary = run_distributed(d, n_workers=2, version=7, batch_size=5,
+                              platform="cpu")
+    assert os.path.exists(marker), "crash hook never fired"
+    with sqlite3.connect(os.path.join(d, "todo.sqlite")) as conn:
+        pending = conn.execute(
+            "SELECT COUNT(*) FROM todolist WHERE status IS NULL "
+            "OR status=6;").fetchone()[0]
+        assert pending == 0, "crashed worker's lease was not reclaimed"
+    assert summary["OK"] + summary["WARNING"] + summary["SKIPPED"] >= \
+        0.9 * summary["numtasks"]
