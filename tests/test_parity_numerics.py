@@ -146,3 +146,47 @@ def test_watershed_vs_components_on_separated_blobs():
                                        jnp.asarray(mask)))
     want, _ = ndimage.label(mask, structure=np.ones((3, 3)))
     assert _partition_equal(got, want)
+
+
+def test_table_prf_vs_rectbivariatespline_integral(tmp_path):
+    """Calibrated-table PRF machinery (.mat load -> pixel-integrated table ->
+    Catmull-Rom evaluation) against the reference's exact method:
+    RectBivariateSpline(...).integral over each pixel box (psf.py:119,137-147)
+    on a NON-separable synthetic PRF."""
+    from scipy.interpolate import RectBivariateSpline
+    from photometry_tpu.models.prf import PRF
+
+    oversample, radius = 9, 6.0
+    n = int(radius * oversample)
+    coords = np.arange(-n, n + 1) / oversample
+    xx, yy = np.meshgrid(coords, coords)          # (row, col) grid
+    # non-separable: rotated elongated Gaussian + offset secondary lobe
+    th = np.deg2rad(30.0)
+    u = np.cos(th) * xx + np.sin(th) * yy
+    v = -np.sin(th) * xx + np.cos(th) * yy
+    grid = (np.exp(-0.5 * (u ** 2 / 1.8 ** 2 + v ** 2 / 0.9 ** 2))
+            + 0.15 * np.exp(-0.5 * (((xx - 1.2) ** 2 + (yy + 0.8) ** 2) / 0.8 ** 2)))
+
+    path = str(tmp_path / "prf.mat")
+    PRF.write_mat(path, [grid], [1024.0], [1024.0],
+                  oversample=oversample, radius=radius)
+    prf = PRF.from_mat(path, sector=1, camera=1, ccd=1, stamp=(0, 15, 0, 15))
+
+    # Reference comparator: normalised spline + exact pixel-box integrals:
+    dx = 1.0 / oversample
+    norm = grid / (grid.sum() * dx * dx)
+    spl = RectBivariateSpline(coords, coords, norm.T)  # (column, row) axes
+    stars = np.array([[7.3, 6.8, 1000.0], [4.1, 9.6, 300.0]])
+    want = np.zeros((15, 15))
+    for i in range(15):
+        for j in range(15):
+            for row_s, col_s, f in stars:
+                cc, rc = j - col_s, i - row_s
+                want[i, j] += f * spl.integral(cc - 0.5, cc + 0.5,
+                                               rc - 0.5, rc + 0.5)
+    got = np.asarray(prf.integrate_to_image(stars, (15, 15),
+                                            cutoff_radius=None))
+    peak = want.max()
+    np.testing.assert_allclose(got / peak, want / peak, atol=2e-3)
+    # total flux conserved at the 1% level:
+    assert abs(got.sum() - want.sum()) / want.sum() < 0.01
