@@ -51,8 +51,12 @@ def manual_exclude_mask(data: np.ndarray, header: dict, is_tess: bool = True) ->
 
 
 def shenanigans_residual(img, sumimage=None, size: int = 15):
-    """Median-filtered residual used by the Background-Shenanigans detector."""
-    img = jnp.asarray(img, jnp.float32)
+    """Median-filtered residual used by the Background-Shenanigans detector.
+
+    Accepts (H, W) or (T, H, W); the filter is host-orchestrated over row
+    blocks (one jitted static-slice program per block), which bounds device
+    memory at full-CCD scale."""
+    img = np.asarray(img, np.float32)
     if sumimage is not None:
-        img = img - jnp.asarray(sumimage, jnp.float32)
+        img = img - np.asarray(sumimage, np.float32)
     return median_filter2d_chunked(img, size=size)

@@ -97,30 +97,44 @@ def median_filter2d(img, size: int = 15, mode: str = "reflect"):
     return jnp.nanmedian(stack, axis=0)
 
 
-def median_filter2d_chunked(img, size: int = 15, chunk_rows: int = 256):
-    """Row-chunked median filter for full-CCD images (bounds the k^2 blowup).
+@functools.partial(jax.jit, static_argnames=("size", "rows", "W"))
+def _median_block(padded, size: int, rows: int, W: int):
+    """Exact k x k nanmedian of one padded (rows+k-1, W+k-1) block —
+    STATIC slices only (a lax.map/vmap dynamic-slice formulation made the
+    XLA TPU compiler materialise ~57 GB at full-CCD scale)."""
+    shifts = [padded[dy:dy + rows, dx:dx + W]
+              for dy in range(size) for dx in range(size)]
+    return jnp.nanmedian(jnp.stack(shifts, axis=0), axis=0)
 
-    Memory per chunk: size^2 * chunk_rows * W * 4 bytes (e.g. 15^2*256*2048*4
-    = 472 MB on a full TESS CCD) instead of size^2 * H * W.
+
+def median_filter2d_chunked(img, size: int = 15, chunk_rows: int = 0,
+                            budget_bytes: float = 3e8):
+    """Host-orchestrated exact k x k nanmedian filter for (H, W) or
+    (T, H, W) images.
+
+    Each row block runs as one jitted static-slice program; block height is
+    chosen so the size^2-deep shifted stack stays under ``budget_bytes``
+    (e.g. 15^2 * 128 rows * 2062 * 4 B ~ 238 MB on a full TESS CCD).
+    Returns host numpy.
     """
-    img = jnp.asarray(img)
-    H, W = img.shape
+    arr = np.asarray(img, np.float32)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[None]
+    T, H, W = arr.shape
     half = size // 2
-    n_chunks = -(-H // chunk_rows)
-    pad_h = n_chunks * chunk_rows - H
-    padded = jnp.pad(img, ((half, half + pad_h), (half, half)), mode="symmetric")
-
-    def do_chunk(i):
-        block = jax.lax.dynamic_slice(padded, (i * chunk_rows, 0),
-                                      (chunk_rows + 2 * half, W + 2 * half))
-        shifts = []
-        for dy in range(size):
-            for dx in range(size):
-                shifts.append(jax.lax.dynamic_slice(block, (dy, dx), (chunk_rows, W)))
-        return jnp.nanmedian(jnp.stack(shifts, axis=0), axis=0)
-
-    out = jax.lax.map(do_chunk, jnp.arange(n_chunks))
-    return out.reshape(n_chunks * chunk_rows, W)[:H]
+    if not chunk_rows:
+        chunk_rows = max(8, int(budget_bytes / (size * size * 4 * (W + 2 * half))))
+    chunk_rows = min(chunk_rows, H)
+    padded = np.pad(arr, ((0, 0), (half, half), (half, half)), mode="symmetric")
+    out = np.empty((T, H, W), np.float32)
+    for t in range(T):
+        for r0 in range(0, H, chunk_rows):
+            rows = min(chunk_rows, H - r0)
+            block = jnp.asarray(padded[t, r0:r0 + rows + 2 * half, :])
+            out[t, r0:r0 + rows] = np.asarray(
+                _median_block(block, size, rows, W))
+    return out[0] if squeeze else out
 
 
 def _gauss1d(sigma: float, truncate: float = 4.0):

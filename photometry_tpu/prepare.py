@@ -242,15 +242,12 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
     if not cube.is_done("shenanigans"):
         logger.info("Detecting background shenanigans...")
         import jax
-        import jax.numpy as jnp
         sumimage = cube.sumimage.astype(np.float32)
         resid = np.empty((T, H, W), np.float32)
-        fn = jax.jit(lambda imgs: jax.vmap(
-            lambda im: shenanigans_residual(im, sumimage))(imgs))
         for t0 in range(0, T, chunk):
             t1 = min(t0 + chunk, T)
             imgs = np.nan_to_num(cube.images(t0, t1))
-            resid[t0:t1] = np.asarray(fn(jnp.asarray(imgs)))
+            resid[t0:t1] = shenanigans_residual(imgs, sumimage)
         # Robust mean: mean of medians over shuffled blocks of 25
         # (prepare.py:549-573):
         block = 25
