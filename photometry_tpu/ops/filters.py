@@ -99,12 +99,37 @@ def median_filter2d(img, size: int = 15, mode: str = "reflect"):
 
 @functools.partial(jax.jit, static_argnames=("size", "rows", "W"))
 def _median_block(padded, size: int, rows: int, W: int):
-    """Exact k x k nanmedian of one padded (rows+k-1, W+k-1) block —
-    STATIC slices only (a lax.map/vmap dynamic-slice formulation made the
-    XLA TPU compiler materialise ~57 GB at full-CCD scale)."""
+    """Exact k x k median of one padded (rows+k-1, W+k-1) NaN-free block.
+
+    Selection by VALUE BISECTION on the k^2-deep shifted stack: per
+    iteration one vectorised count of elements <= mid, 40 iterations, then
+    the exact order statistic is recovered as the smallest element above
+    the converged lower bound.  XLA TPU ``sort`` materialises every bitonic
+    stage (~35 GB at full-CCD blocks) and ``nanmedian`` adds a per-pixel
+    gather, so neither survives CCD scale; this runs in O(stack) memory.
+    """
     shifts = [padded[dy:dy + rows, dx:dx + W]
               for dy in range(size) for dx in range(size)]
-    return jnp.nanmedian(jnp.stack(shifts, axis=0), axis=0)
+    stack = jnp.stack(shifts, axis=0)              # (K, rows, W)
+    K = stack.shape[0]
+    target = K // 2 + 1                            # rank of the median (K odd)
+    vmin = jnp.min(stack, axis=0)
+    vmax = jnp.max(stack, axis=0)
+    # open lower bound strictly below the minimum (count(<=lo) = 0 < target):
+    lo = vmin - jnp.maximum(jnp.abs(vmin) * 1e-6, 1e-6)
+    hi = vmax
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        ge = jnp.sum(stack <= mid[None], axis=0) >= target
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 40, body, (lo, hi))
+    # count(<=lo) < target <= count(<=hi) and (lo, hi] has collapsed to one
+    # representable value -> the median is the smallest element above lo:
+    sel = jnp.min(jnp.where(stack > lo[None], stack, jnp.inf), axis=0)
+    return jnp.where(jnp.isfinite(sel), sel, vmax)
 
 
 def median_filter2d_chunked(img, size: int = 15, chunk_rows: int = 0,
@@ -115,9 +140,10 @@ def median_filter2d_chunked(img, size: int = 15, chunk_rows: int = 0,
     Each row block runs as one jitted static-slice program; block height is
     chosen so the size^2-deep shifted stack stays under ``budget_bytes``
     (e.g. 15^2 * 128 rows * 2062 * 4 B ~ 238 MB on a full TESS CCD).
-    Returns host numpy.
+    NaNs are zeroed first (the reference's scipy.ndimage.median_filter is
+    not NaN-aware either, pixel_flags.py:61-79).  Returns host numpy.
     """
-    arr = np.asarray(img, np.float32)
+    arr = np.nan_to_num(np.asarray(img, np.float32))
     squeeze = arr.ndim == 2
     if squeeze:
         arr = arr[None]
