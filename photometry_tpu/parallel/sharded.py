@@ -141,6 +141,48 @@ def sharded_extract_flux(images, images_err, backgrounds, pixelflags,
                          masks, r0s, c0s)
 
 
+def sharded_band_extract(images, images_err, backgrounds, pixelflags,
+                         masks, r0s, c0s, mesh, h: int, w: int,
+                         t_block: int = 128, interpret: bool = False):
+    """Time-sharded banded extraction: the full-pass MXU kernel
+    (ops.bandext) runs per time shard under ``shard_map``.
+
+    The production multi-chip configuration for dense target fields: each
+    device streams its local time slice of the cubes once through the band
+    kernel; piece patches are target-replicated (small); outputs come back
+    (N, T) with T sharded.  Exactness is inherited — every output element
+    depends on one (target, cadence) pair.
+    """
+    from ..ops.bandext import band_extract_flux_batch, build_piece_patches
+    T, H, W = images.shape
+    n_time = mesh.shape[TIME_AXIS]
+    if T % n_time:
+        raise ValueError(f"T={T} must divide the time-axis size {n_time}")
+    pieces = build_piece_patches(np.asarray(masks), r0s, c0s, (H, W))
+
+    cs = NamedSharding(mesh, P(TIME_AXIS, None, None))
+    images = jax.device_put(images, cs)
+    images_err = jax.device_put(images_err, cs)
+    backgrounds = jax.device_put(backgrounds, cs)
+    pixelflags = jax.device_put(pixelflags, cs)
+
+    def local(im, er, bk, fl):
+        return band_extract_flux_batch(
+            im, er, bk, fl, masks, r0s, c0s, h, w,
+            t_block=min(t_block, T // n_time), interpret=interpret,
+            pieces=pieces)
+
+    out_specs = ((P(None, TIME_AXIS),) * 3
+                 + (P(None, TIME_AXIS, None), P(None, TIME_AXIS)))
+    # check_vma=False: pallas_call inside shard_map cannot annotate the
+    # varying-mesh-axes of its outputs (jax would otherwise require `vma`
+    # on every ShapeDtypeStruct).
+    body = jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(TIME_AXIS, None, None),) * 4,
+                         out_specs=out_specs, check_vma=False)
+    return body(images, images_err, backgrounds, pixelflags)
+
+
 def prepare_step(images, quality, mesh, tile: int = 16, window: int = 3):
     """One multi-chip prepare step: backgrounds, smoothing, subtraction, sum.
 

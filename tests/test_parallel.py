@@ -150,3 +150,35 @@ def test_full_steps_run(mesh):
     assert np.asarray(lc["flux_err"]).shape == (4, T)
     assert np.asarray(lc["pos_centroid"]).shape == (4, T, 2)
     assert np.asarray(metrics["rms_hour"]).shape == (4,)
+
+
+def test_sharded_band_extract_matches_single(mesh):
+    """Time-sharded banded (MXU) extraction == single-device band kernel,
+    which itself == the gather production program (tests/test_bandext.py)."""
+    from photometry_tpu.parallel.sharded import sharded_band_extract
+    from photometry_tpu.ops.bandext import band_extract_flux_batch
+    rng = np.random.default_rng(9)
+    T, H, W = 16, 128, 256
+    N, h, w = 10, 17, 17
+    imgs = rng.normal(100, 5, (T, H, W)).astype(np.float32)
+    imgs[1, 10, 10] = np.nan
+    errs = (np.sqrt(np.abs(imgs)) + 1.0).astype(np.float32)
+    bkgs = rng.normal(20, 1, (T, H, W)).astype(np.float32)
+    pflags = (rng.uniform(size=(T, H, W)) < 0.01).astype(np.uint8) * 4
+    r0s = rng.integers(0, H - h, N).astype(np.int32)
+    c0s = rng.integers(0, W - w, N).astype(np.int32)
+    masks = rng.uniform(size=(N, h, w)) < 0.4
+    masks[:, h // 2, w // 2] = True
+    with mesh:
+        got = sharded_band_extract(imgs, errs, bkgs, pflags, masks, r0s, c0s,
+                                   mesh, h, w, interpret=True)
+        got = [np.asarray(o) for o in got]
+    want = band_extract_flux_batch(imgs, errs, bkgs, pflags, masks, r0s, c0s,
+                                   h, w, t_block=4, interpret=True)
+    for name, a, b in zip(["flux", "ferr", "fbkg", "cent", "shen"], got, want):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == bool:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4,
+                                       equal_nan=True, err_msg=name)
