@@ -182,6 +182,33 @@ class PRF:
         val = bicubic_eval(self._iprf_dev, jnp.clip(y, 0, H - 1), jnp.clip(x, 0, W - 1))
         return jnp.where(inside, val, 0.0)
 
+    @property
+    def has_analytic_grads(self) -> bool:
+        """True when :meth:`pixel_fraction_grads` has a closed form (the
+        analytic-Gaussian PRF); table PRFs differentiate via autodiff."""
+        return self.info.get("sigma") is not None
+
+    def pixel_fraction_grads(self, drow, dcol):
+        """(q, dq/ddrow, dq/ddcol) for the analytic-Gaussian PRF.
+
+        Closed-form derivatives of the erf-product pixel integral — the LM
+        PSF fit builds its Jacobian from these in ONE pass instead of 3S
+        jacfwd forward renders (models/psf_fit.py).
+        """
+        sigma = self.info.get("sigma")
+        if sigma is None:
+            raise NotImplementedError("analytic grads need a Gaussian PRF")
+        from jax.scipy.special import erf
+        d = jnp.float32(np.sqrt(2.0) * sigma)
+        c = jnp.float32(2.0 / (np.sqrt(np.pi)) / (np.sqrt(2.0) * sigma))
+        dy = jnp.asarray(drow, jnp.float32)
+        dx = jnp.asarray(dcol, jnp.float32)
+        ey = erf((dy + 0.5) / d) - erf((dy - 0.5) / d)
+        ex = erf((dx + 0.5) / d) - erf((dx - 0.5) / d)
+        gy = c * (jnp.exp(-((dy + 0.5) / d) ** 2) - jnp.exp(-((dy - 0.5) / d) ** 2))
+        gx = c * (jnp.exp(-((dx + 0.5) / d) ** 2) - jnp.exp(-((dx - 0.5) / d) ** 2))
+        return 0.25 * ey * ex, 0.25 * gy * ex, 0.25 * ey * gx
+
     def integrate_to_image(self, params, shape, cutoff_radius: Optional[float] = 5.0):
         """Render stars onto a pixel grid.  Pure-JAX; jit/vmap-safe.
 
