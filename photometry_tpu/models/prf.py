@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.spline import bicubic_eval
+from ..ops.spline import bicubic_eval, _CRM as _CRM_NP
 
 __all__ = ["PRF"]
 
@@ -182,6 +182,69 @@ class PRF:
         val = bicubic_eval(self._iprf_dev, jnp.clip(y, 0, H - 1), jnp.clip(x, 0, W - 1))
         return jnp.where(inside, val, 0.0)
 
+    def _svd_factors(self, tol: float = 1e-5, max_terms: int = 24):
+        """Cached separable factorisation iprf ~ sum_k U[:, k] V[:, k]^T.
+
+        TESS PRFs are near-separable; K terms capturing singular values
+        above ``tol * s_max`` reconstruct the table to interpolation-level
+        accuracy.  Enables the gather-free grid render (:meth:`_render_separable`).
+        """
+        if not hasattr(self, "_svd_cache"):
+            u, s, vt = np.linalg.svd(self.iprf, full_matrices=False)
+            k = min(max(int(np.sum(s > tol * s[0])), 1), max_terms)
+            # host numpy (NOT jnp): this may be first called inside a jit
+            # trace, and caching traced constants leaks tracers.
+            self._svd_cache = ((u[:, :k] * s[:k]).astype(np.float32),
+                               vt[:k].T.astype(np.float32))
+        return self._svd_cache
+
+    def _axis_values(self, F, center: float, coord, n: int):
+        """Catmull-Rom interpolation of the (L0, K) factor table at the
+        arithmetic queries y_i = (i - coord)*oversample + center, i < n.
+
+        The stride is the (integer) oversample, so all n queries share one
+        fractional phase: ONE dynamic_slice + 4 static strided slices —
+        no gathers (TPU gathers serialize and can fault at scale).
+        """
+        os_ = int(round(self.oversample))
+        L0, K = F.shape
+        y0 = (0.0 - coord) * os_ + center
+        fl = jnp.floor(y0)
+        b = fl.astype(jnp.int32) - 1
+        t = (y0 - fl).astype(jnp.float32)
+        L = n * os_ + 4
+        Fp = jnp.pad(F, ((L, L), (0, 0)))
+        sl = jax.lax.dynamic_slice(Fp, (b + L, 0), (L, K))
+        wb = jnp.stack([jnp.ones_like(t), t, t * t, t * t * t]) @ _CRM_NP  # (4,)
+        vals = sum(wb[j] * sl[j:j + n * os_].reshape(n, os_, K)[:, 0, :]
+                   for j in range(4))
+        y_i = y0 + os_ * jnp.arange(n, dtype=jnp.float32)
+        valid = (y_i >= 0) & (y_i <= L0 - 1)
+        return jnp.where(valid[:, None], vals, 0.0)
+
+    def _render_separable(self, params, shape, cutoff_radius):
+        """(S, 3) stars -> (h, w) image via the SVD-separable table render."""
+        U, V = self._svd_factors()
+        h, w = shape
+        params = jnp.atleast_2d(jnp.asarray(params))
+
+        def one_star(p):
+            u = self._axis_values(U, self.center_y, p[0], h)   # (h, K)
+            v = self._axis_values(V, self.center_x, p[1], w)   # (w, K)
+            img = u @ v.T                                       # (h, w)
+            if cutoff_radius is not None:
+                rr = jnp.arange(h, dtype=jnp.float32)[:, None] - p[0]
+                cc = jnp.arange(w, dtype=jnp.float32)[None, :] - p[1]
+                img = jnp.where(rr * rr + cc * cc < cutoff_radius ** 2, img, 0.0)
+            return img * p[2]
+
+        return jnp.sum(jax.vmap(one_star)(params), axis=0)
+
+    @property
+    def _grid_separable(self) -> bool:
+        return (self.info.get("sigma") is None
+                and abs(self.oversample - round(self.oversample)) < 1e-9)
+
     @property
     def has_analytic_grads(self) -> bool:
         """True when :meth:`pixel_fraction_grads` has a closed form (the
@@ -221,6 +284,9 @@ class PRF:
             (h, w) model image.
         """
         params = jnp.atleast_2d(jnp.asarray(params))
+        if self._grid_separable:
+            # Gather-free SVD-separable render for calibrated tables:
+            return self._render_separable(params, shape, cutoff_radius)
         h, w = shape
         rows = jnp.arange(h, dtype=jnp.float32)[:, None, None]    # (h,1,1)
         cols = jnp.arange(w, dtype=jnp.float32)[None, :, None]    # (1,w,1)
@@ -242,6 +308,10 @@ class PRF:
         S = rows.shape[0]
         params = jnp.stack([rows, jnp.asarray(cols), jnp.ones(S, jnp.float32)], axis=1)
         h, w = shape
+        if self._grid_separable:
+            cols_mat = jax.vmap(lambda p: self._render_separable(
+                p[None], (h, w), cutoff_radius).ravel())(params)
+            return cols_mat.T                                      # (h*w, S)
         rr = jnp.arange(h, dtype=jnp.float32)[:, None, None]
         cc = jnp.arange(w, dtype=jnp.float32)[None, :, None]
         drow = rr - params[None, None, :, 0]

@@ -190,3 +190,43 @@ def test_table_prf_vs_rectbivariatespline_integral(tmp_path):
     np.testing.assert_allclose(got / peak, want / peak, atol=2e-3)
     # total flux conserved at the 1% level:
     assert abs(got.sum() - want.sum()) / want.sum() < 0.01
+
+
+def test_separable_table_render_matches_gather_form(tmp_path):
+    """The gather-free SVD-separable table render == the per-pixel
+    Catmull-Rom evaluation (same interpolation applied to the truncated
+    reconstruction), for renders and design matrices."""
+    import jax.numpy as jnp2
+    from photometry_tpu.models.prf import PRF
+
+    oversample, radius = 9, 6.0
+    n = int(radius * oversample)
+    coords = np.arange(-n, n + 1) / oversample
+    xx, yy = np.meshgrid(coords, coords)
+    th = np.deg2rad(20.0)
+    u = np.cos(th) * xx + np.sin(th) * yy
+    v = -np.sin(th) * xx + np.cos(th) * yy
+    grid = np.exp(-0.5 * (u ** 2 / 1.6 ** 2 + v ** 2 / 1.0 ** 2))
+    path = str(tmp_path / "prf.mat")
+    PRF.write_mat(path, [grid], [1024.0], [1024.0],
+                  oversample=oversample, radius=radius)
+    prf = PRF.from_mat(path, sector=5, camera=2, ccd=3, stamp=(0, 13, 0, 13))
+    assert prf._grid_separable
+
+    stars = np.array([[6.3, 5.8, 1000.0], [3.1, 8.6, 250.0]])
+    got = np.asarray(prf._render_separable(stars, (13, 13), 5.0))
+    # reference formulation: per-pixel bicubic evaluation of the table:
+    rows = jnp2.arange(13, dtype=jnp2.float32)[:, None, None]
+    cols = jnp2.arange(13, dtype=jnp2.float32)[None, :, None]
+    drow = rows - stars[None, None, :, 0]
+    dcol = cols - stars[None, None, :, 1]
+    frac = prf.pixel_fraction(drow, dcol)
+    frac = jnp2.where(drow ** 2 + dcol ** 2 < 25.0, frac, 0.0)
+    want = np.asarray(jnp2.sum(frac * stars[None, None, :, 2], axis=-1))
+    np.testing.assert_allclose(got, want, atol=2e-4 * want.max())
+
+    A_sep = np.asarray(prf.design_matrix(
+        jnp2.asarray(stars[:, 0], jnp2.float32),
+        jnp2.asarray(stars[:, 1], jnp2.float32), (13, 13), 5.0))
+    want_A = np.asarray(frac.reshape(13 * 13, 2))
+    np.testing.assert_allclose(A_sep, want_A, atol=2e-4)
