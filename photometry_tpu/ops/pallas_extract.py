@@ -16,9 +16,9 @@ Mosaic tiling constraints shape the design:
 - Block shapes need the second-to-last dim divisible by 8, so targets are
   processed in GROUPs of 8 and the time axis in chunks.
 
-The XLA path remains the reference implementation; this kernel is the
-tile-streaming alternative whose DMA traffic is higher for tiny stamps but
-contiguous (useful for large stamps / saturated-star masks).
+SUPERSEDED for production by ops/bandext.py (the full-pass banded MXU
+kernel, ~7x faster at >10k targets); kept as the per-stamp DMA-streaming
+alternative and as a worked example of the scalar-prefetch DMA pattern.
 """
 
 from __future__ import annotations
