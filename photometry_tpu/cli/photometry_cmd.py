@@ -60,7 +60,7 @@ def main(argv=None) -> int:
     output_folder = args.output or os.environ.get("TESSPHOT_OUTPUT") or input_folder
 
     from ..taskmanager import TaskManager
-    from ..core.dispatcher import open_context, photometry_batch
+    from ..core.dispatcher import ContextCache, photometry_batch
 
     constraints = {}
     if args.starid is not None:
@@ -75,7 +75,8 @@ def main(argv=None) -> int:
         constraints["ccd"] = args.ccd
 
     summary = os.path.join(output_folder, "summary.json") if args.all else None
-    with TaskManager(input_folder, cleanup=args.all, summary=summary) as tm:
+    with TaskManager(input_folder, cleanup=args.all, summary=summary) as tm, \
+            ContextCache() as ctx_cache:
         n_done = 0
         while True:
             if args.random and not args.all:
@@ -92,7 +93,9 @@ def main(argv=None) -> int:
             tm.start_tasks([t["priority"] for t in batch])
 
             tic = default_timer()
-            ctx = open_context(input_folder, batch[0])
+            # FFI contexts (the expensive cube uploads) are reused across
+            # consecutive same-CCD batches via the cache:
+            ctx, cached = ctx_cache.get(input_folder, batch[0])
             try:
                 if args.method:
                     for t in batch:
@@ -103,7 +106,7 @@ def main(argv=None) -> int:
                                            output_folder=None if args.output is None else output_folder,
                                            version=args.version)
             finally:
-                ctx.close()
+                ctx_cache.release(ctx, cached)
             elaptime = (default_timer() - tic) / max(len(batch), 1)
             for t, res in zip(batch, results):
                 tm.save_result(task_to_result(t, res, elaptime))

@@ -33,7 +33,7 @@ from .status import STATUS
 logger = logging.getLogger(__name__)
 
 __all__ = ["photometry_batch", "photometry_single", "open_context",
-           "default_time_corrector"]
+           "default_time_corrector", "ContextCache"]
 
 _HALO_SWITCH_ERRORS = ("Too many stamp resizes.",
                        "Stamp resize hit limit. Haloswitch quick break.")
@@ -60,6 +60,51 @@ def default_time_corrector():
         logger.warning("No spacecraft ephemeris available; light curves "
                        "will carry frame-level (mid-CCD) times", exc_info=True)
         return None
+
+
+class ContextCache:
+    """Reuse device-resident FFI contexts across task batches.
+
+    A sector-CCD cube upload costs seconds; the TaskManager's tmag-sorted
+    leases hand a worker many consecutive batches of the SAME (sector,
+    camera, ccd), so callers that drain the queue should fetch contexts
+    through this cache instead of open_context per batch.  TPF contexts
+    are per-target and never cached.
+    """
+
+    def __init__(self, capacity: int = 1):
+        self.capacity = max(capacity, 1)
+        self._items: "dict[tuple, object]" = {}
+
+    def get(self, input_folder: str, task: dict):
+        if task["datasource"] != "ffi":
+            return open_context(input_folder, task), False
+        key = (input_folder, int(task["sector"]), int(task["camera"]),
+               int(task["ccd"]))
+        ctx = self._items.pop(key, None)
+        if ctx is None:
+            ctx = open_context(input_folder, task)
+            while len(self._items) >= self.capacity:
+                _, old = self._items.popitem()
+                old.close()
+        self._items[key] = ctx
+        return ctx, True
+
+    def close(self):
+        for ctx in self._items.values():
+            ctx.close()
+        self._items.clear()
+
+    def release(self, ctx, cached: bool):
+        """Close a context that did not come from the cache."""
+        if not cached:
+            ctx.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def open_context(input_folder: str, task: dict, cache: str = "device"):

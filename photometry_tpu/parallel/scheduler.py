@@ -71,14 +71,16 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
-    from ..core.dispatcher import open_context, photometry_batch
+    from ..core.dispatcher import ContextCache, photometry_batch
     from ..core.status import STATUS
 
+    ctx_cache = ContextCache()
     tic_wait = default_timer()
     conn.send((READY, None))
     while True:
         tag, payload = conn.recv()
         if tag == EXIT:
+            ctx_cache.close()
             conn.close()
             return
         assert tag == START
@@ -94,11 +96,14 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
         tic = default_timer()
         results = []
         ctx = None
+        cached = False
         try:
             from ..utils.profiling import StageTimer
             timer = StageTimer()
             with timer.stage("context"):
-                ctx = open_context(input_folder, batch[0])
+                # FFI contexts (cube uploads) are reused across consecutive
+                # same-CCD batches:
+                ctx, cached = ctx_cache.get(input_folder, batch[0])
             with timer.stage("photometry"):
                 out = photometry_batch(ctx, batch, output_folder=output_folder,
                                        version=version)
@@ -121,7 +126,7 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
             } for t in batch]
         finally:
             if ctx is not None:
-                ctx.close()
+                ctx_cache.release(ctx, cached)
         tic_wait = default_timer()
         conn.send((DONE, results))
 

@@ -102,3 +102,17 @@ def test_warning_capture_into_errors(setup, monkeypatch):
                                        sector=1, camera=3, ccd=2, save=False)
     errors = res.details.get("errors", [])
     assert any("WARNING: synthetic warning 42" in e for e in errors), errors
+
+
+def test_context_cache_reuse_and_eviction(setup):
+    """FFI contexts are reused across same-CCD fetches (the cube upload is
+    the per-batch cost the cache removes); distinct CCD keys evict at
+    capacity; TPF requests bypass the cache."""
+    from photometry_tpu.core.dispatcher import ContextCache
+    sim, d = setup
+    task = {"datasource": "ffi", "sector": 1, "camera": 3, "ccd": 2}
+    with ContextCache(capacity=1) as cache:
+        c1, cached1 = cache.get(d, task)
+        assert cached1
+        c2, cached2 = cache.get(d, task)
+        assert c2 is c1 and cached2
