@@ -1,0 +1,75 @@
+"""Long-time-axis behavior: 20-s cadence TPFs reach ~13,000 cadences
+(SURVEY §5 "long context"); the engine, metrics, halo splits and the
+streamed extraction must handle sector-length T without per-frame loops.
+"""
+
+import numpy as np
+import pytest
+
+from photometry_tpu.core.status import STATUS
+
+
+@pytest.fixture(scope="module")
+def fast_tpf_dir(tmp_path_factory):
+    from photometry_tpu.sim.simulator import SimConfig, simulate_sector
+    d = str(tmp_path_factory.mktemp("fast"))
+    sim = simulate_sector(SimConfig(shape=(96, 96), n_times=8, n_stars=8,
+                                    seed=123, tmag_range=(8.0, 11.0)))
+    sim.write_catalog(d)
+    # 20-second cadence over the sim span -> thousands of cadences:
+    sim.write_tpf(d, int(sim.starid[0]), cadence=20, n_times=6000)
+    return sim, d
+
+
+def test_fast_tpf_extraction_long_T(fast_tpf_dir):
+    from photometry_tpu.core.engine import TpfContext, extract_aperture_batch
+    sim, d = fast_tpf_dir
+    ctx = TpfContext(d, int(sim.starid[0]))
+    assert ctx.n_times == 6000
+    assert ctx.cadence == 20
+    res = extract_aperture_batch(ctx, [int(sim.starid[0])])[0]
+    assert res.status in (STATUS.OK, STATUS.WARNING)
+    flux = res.lightcurve["flux"]
+    assert flux.shape == (6000,)
+    assert np.isfinite(flux).sum() > 5500
+    # flux tracks the injected truth at the few-percent level:
+    med = np.nanmedian(flux)
+    truth = float(np.asarray(
+        10 ** (-0.4 * (sim.tmag[0] - 20.451))))
+    assert 0.8 < med / truth < 1.2
+    # metrics computed over the full axis:
+    assert np.isfinite(res.details["rms_hour"])
+    ctx.close()
+
+
+def test_streamed_long_T_matches_device(fast_tpf_dir):
+    """Host-streamed T-chunked extraction at long T == device-resident."""
+    import jax.numpy as jnp
+    from photometry_tpu.core.engine import (_extract_flux_batch,
+                                            _extract_flux_streamed)
+    rng = np.random.default_rng(0)
+    T, H, W = 5000, 32, 32
+    N, h, w = 3, 9, 9
+
+    class _Ctx:
+        n_times = T
+        images = rng.normal(100, 3, (T, H, W)).astype(np.float32)
+        images_err = np.sqrt(np.abs(images)) + 1.0
+        backgrounds = np.zeros_like(images)
+        pixelflags = np.zeros((T, H, W), np.uint8)
+
+    ctx = _Ctx()
+    r0s = rng.integers(0, H - h, N).astype(np.int32)
+    c0s = rng.integers(0, W - w, N).astype(np.int32)
+    masks = rng.uniform(size=(N, h, w)) < 0.5
+    got = _extract_flux_streamed(ctx, jnp.asarray(masks), jnp.asarray(r0s),
+                                 jnp.asarray(c0s), h, w, chunk=512)
+    want = _extract_flux_batch(jnp.asarray(ctx.images),
+                               jnp.asarray(ctx.images_err),
+                               jnp.asarray(ctx.backgrounds),
+                               jnp.asarray(ctx.pixelflags),
+                               jnp.asarray(masks), jnp.asarray(r0s),
+                               jnp.asarray(c0s), h, w)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, equal_nan=True)
