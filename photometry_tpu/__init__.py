@@ -34,6 +34,9 @@ def __getattr__(name):
     """Lazy top-level API (keeps `import photometry_tpu` light)."""
     lazy = {
         "SectorContext": ("photometry_tpu.core.engine", "SectorContext"),
+        "ContextCache": ("photometry_tpu.core.dispatcher", "ContextCache"),
+        "band_extract_flux_batch": ("photometry_tpu.ops.bandext", "band_extract_flux_batch"),
+        "run_distributed": ("photometry_tpu.parallel.scheduler", "run_distributed"),
         "TpfContext": ("photometry_tpu.core.engine", "TpfContext"),
         "extract_aperture_batch": ("photometry_tpu.core.engine", "extract_aperture_batch"),
         "photometry_single": ("photometry_tpu.core.dispatcher", "photometry_single"),
@@ -56,6 +59,7 @@ def __getattr__(name):
 
 
 __all__ = ["__version__", "STATUS", "SectorContext", "TpfContext",
+           "ContextCache", "band_extract_flux_batch", "run_distributed",
            "extract_aperture_batch", "photometry_single", "photometry_batch",
            "TaskManager", "prepare_photometry", "make_todo", "make_catalog",
            "StarCatalog", "PRF", "TESSQualityFlags", "PixelQualityFlags",
