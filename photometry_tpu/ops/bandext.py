@@ -18,8 +18,11 @@ sequentially, and reduce every stamp against it:
   count, positive flux + its row/col moments for centroids, err^2,
   background sum + finite count, shenanigans) as (M, 8192) @ (8192, T_b)
   matmuls.
-- Pieces re-assemble into per-target quantities with a segment-sum, and the
-  NaN/all-bad semantics of extract_flux_core are applied.
+- Pieces re-assemble into per-target quantities by a static row-gather of
+  piece-major (NQ, T)-contiguous rows followed by a dense sum over each
+  target's <= P_max pieces (a scatter/segment-sum here was measured ~10x
+  slower on TPU), and the NaN/all-bad semantics of extract_flux_core are
+  applied.
 
 Reference behavior: BasePhotometry.py:720-751, 1323-1414 (per-frame stamp
 reads + masked sums); numerically asserted against extract_flux_core in
@@ -72,17 +75,28 @@ def build_piece_patches(masks, r0s, c0s, shape) -> dict:
     """Decompose stamps into per-cell pieces; patches are built ON DEVICE.
 
     Host work is only the tiny piece table (which stamp intersects which
-    cell, at what offset); the dense (n_cells, M, BH*TW) patch tensor —
-    ~1 GB at 10k targets — is gathered from the (N, h, w) mask stack by
-    :func:`_patches_device`, so no bulk host->device upload happens.
+    cell, at what offset) — computed from ``r0s``/``c0s`` alone; the dense
+    (n_cells, M, BH*TW) patch tensor — ~1 GB at 10k targets — is gathered
+    from the (N, h, w) mask stack by :func:`_patches_device`, so no bulk
+    host->device upload happens.  ``masks`` may be a device array (the
+    production path: masks come straight from the batched K2P2 builder and
+    never round-trip through the host) or host numpy.
 
     Returns dict with:
       patches      (n_cells, M, BH*TW) float32 device array — mask + 2*window
       piece_target (n_cells*M,) int32 — target index (N for padding slots)
-      plus device-resident combine inputs (piece_target_dev, cell_row0_dev,
-      cell_col0_dev, mask_size_dev).
+      plus device-resident combine inputs: the target -> piece-row gather
+      table (tp_idx_dev (N, P_max) int32 with tp_valid_dev weights) and
+      per-piece cell origins (cell_row0_dev / cell_col0_dev (n_cells*M,)).
     """
-    masks = np.asarray(masks)
+    if isinstance(masks, np.ndarray):
+        masks_u8 = jnp.asarray(masks.astype(np.uint8))
+        mask_size = jnp.asarray(masks.reshape(masks.shape[0], -1)
+                                .sum(axis=1), jnp.float32)
+    else:
+        masks_u8 = masks.astype(jnp.uint8)
+        mask_size = jnp.sum(masks.reshape(masks.shape[0], -1)
+                            .astype(jnp.float32), axis=1)
     r0s = np.asarray(r0s, np.int64)
     c0s = np.asarray(c0s, np.int64)
     N, h, w = masks.shape
@@ -117,23 +131,42 @@ def build_piece_patches(masks, r0s, c0s, shape) -> dict:
     piece_dc[cell, slot] = c0s[tgt] - (cell % nbc) * TW
     cell_idx = np.arange(n_cells)
     patches = _patches_device(
-        jnp.asarray(masks.astype(np.uint8)),
+        masks_u8,
         jnp.asarray(piece_target.reshape(-1)),
         jnp.asarray(piece_dr.reshape(-1)), jnp.asarray(piece_dc.reshape(-1)),
         n_cells=n_cells, M=M)
+    # Target -> flat-piece-row gather table for the combine step: each
+    # target's <= P_max piece rows, zero-weight padded (combine multiplies
+    # the gathered rows by tp_valid before summing, so the padding index
+    # value never leaks through).
+    flat_rows = (cell * M + slot).astype(np.int64)
+    order_t = np.argsort(tgt, kind="stable")
+    rows_t = flat_rows[order_t]
+    tgt_t = tgt[order_t]
+    cnt_t = np.bincount(tgt_t, minlength=N)
+    P_max = max(int(cnt_t.max()) if len(cnt_t) else 1, 1)
+    first_t = np.concatenate([[0], np.cumsum(cnt_t)[:-1]])
+    slot_t = np.arange(len(tgt_t), dtype=np.int64) - first_t[tgt_t]
+    tp_idx = np.zeros((N, P_max), np.int32)
+    tp_valid = np.zeros((N, P_max), np.float32)
+    tp_idx[tgt_t, slot_t] = rows_t
+    tp_valid[tgt_t, slot_t] = 1.0
     # Device-resident copies of the combine-step inputs, so per-time-block
     # extraction calls involve no host<->device transfers (the axon tunnel
     # RTT per transfer would otherwise dominate streamed extraction):
     return {
         "patches": patches,
         "piece_target": piece_target.reshape(-1),
-        "piece_target_dev": jnp.asarray(piece_target.reshape(-1)),
-        "cell_row0_dev": jnp.asarray(((cell_idx // nbc) * BH), jnp.float32),
-        "cell_col0_dev": jnp.asarray(((cell_idx % nbc) * TW), jnp.float32),
-        "mask_size_dev": jnp.asarray(
-            masks.reshape(N, -1).sum(axis=1), jnp.float32),
+        "tp_idx_dev": jnp.asarray(tp_idx),
+        "tp_valid_dev": jnp.asarray(tp_valid),
+        "cell_row0_dev": jnp.asarray(
+            np.repeat((cell_idx // nbc) * BH, M), jnp.float32),
+        "cell_col0_dev": jnp.asarray(
+            np.repeat((cell_idx % nbc) * TW, M), jnp.float32),
+        "mask_size_dev": mask_size,
         "n_targets": N,
         "M": M,
+        "P_max": P_max,
     }
 
 
@@ -163,23 +196,50 @@ def _patches_device(masks_u8, piece_target, piece_dr, piece_dc,
     return out.reshape(n_cells, M, BH * TW)
 
 
+def _split3(v):
+    """Exact 3-term bfloat16 split of an f32 tensor: hi + mid + lo == v.
+
+    f32's 24-bit mantissa decomposes into 3 bf16 8-bit chunks; each residual
+    is exactly representable, so the split is lossless (bf16 shares f32's
+    exponent range — no overflow).  A bf16 x bf16 MXU product of exact terms
+    is computed exactly and accumulated in f32, so contracting a patch that
+    is itself bf16-exact against the 3 terms reproduces a
+    ``Precision.HIGHEST`` f32 matmul at half the passes (3 vs 6).
+    """
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def _band_kernel(img_ref, err_ref, bkg_ref, flg_ref, p_ref, out_ref):
     """One (cell, time-block) instance: NQ masked reductions on the MXU.
 
     Cube refs are (t_block, BH, TW) cell blocks DMA'd straight from the
     (T, H, W) layout; flattening the (BH, TW) cell to one K=8192 axis is a
-    cheap in-VMEM relayout (measured: the whole kernel runs at ~160 GB/s
-    effective, ~7x the scattered-gather formulation at 10k targets).
+    cheap in-VMEM relayout.
+
+    MXU pass budget: the kernel is MXU-bound, not bandwidth-bound, so every
+    reduction is scheduled at the minimum number of bf16 passes that keeps
+    f32-exact results:
+
+    - count reductions (finite / zero / background-n / shenanigans) contract
+      exactly-bf16 0/1 operands against the exactly-bf16 0/1 patch: ONE pass,
+      exact (integer counts up to 256 are bf16-exact; K-sums accumulate f32);
+    - value reductions use :func:`_split3` on the operand (3 passes, exact);
+    - centroid moments fold the lane/row index into the PATCH side
+      (``pm * l`` <= 127 is bf16-exact) so they reuse the one split of ``rx``
+      instead of building two extra (T_b, K) f32 temporaries.
+
+    22 passes total vs 60 for the original all-``Precision.HIGHEST``
+    formulation — measured ~2x kernel wall-clock on v5e (docs/performance.md).
     """
     K = BH * TW
     x = img_ref[...].reshape(img_ref.shape[0], K).astype(jnp.float32)  # (T_b, K)
     fin = jnp.isfinite(x)
     x0 = jnp.where(fin, x, 0.0)
     rx = jnp.maximum(x0, 0.0)
-    # lane/row index of each flat-cell pixel (Mosaic iota is integer-typed):
-    k_io = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    l_io = (k_io % TW).astype(jnp.float32)
-    r_io = (k_io // TW).astype(jnp.float32)
     e = err_ref[...].reshape(x.shape).astype(jnp.float32)
     e0 = jnp.where(jnp.isfinite(e), e, 0.0)
     b = bkg_ref[...].reshape(x.shape).astype(jnp.float32)
@@ -190,24 +250,37 @@ def _band_kernel(img_ref, err_ref, bkg_ref, flg_ref, p_ref, out_ref):
 
     p2 = p_ref[0]                                  # (M, K) in {0, 2, 3}
     pm = jnp.maximum(p2 - 2.0, 0.0)                # mask patch
-    pw = jnp.minimum(p2, 1.0)                      # window patch
+    pmb = pm.astype(jnp.bfloat16)
+    pwb = jnp.minimum(p2, 1.0).astype(jnp.bfloat16)  # window patch
+    # lane/row index folded into the patch (values <= 127: bf16-exact);
+    # Mosaic iota must be integer-typed:
+    k_io = jax.lax.broadcasted_iota(jnp.int32, p2.shape, 1)
+    pm_l = (pm * (k_io % TW).astype(jnp.float32)).astype(jnp.bfloat16)
+    pm_r = (pm * (k_io // TW).astype(jnp.float32)).astype(jnp.bfloat16)
 
-    def red(patch, operand):
+    def red1(patch_bf, op_bf):                     # one bf16 pass, f32 accum
         return jax.lax.dot_general(
-            patch, operand, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)   # (M, T_b)
+            patch_bf, op_bf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (M, T_b)
 
-    out_ref[0, 0] = red(pm, x0)                            # flux total
-    out_ref[1, 0] = red(pm, fin.astype(jnp.float32))       # n finite
-    out_ref[2, 0] = red(pm, (x == 0).astype(jnp.float32))  # n exactly zero
-    out_ref[3, 0] = red(pm, rx)                            # wsum
-    out_ref[4, 0] = red(pm, rx * l_io)                     # col moment (local)
-    out_ref[5, 0] = red(pm, rx * r_io)                     # row moment (local)
-    out_ref[6, 0] = red(pm, e0 * e0)                       # err^2
-    out_ref[7, 0] = red(pm, b0)                            # background sum
-    out_ref[8, 0] = red(pm, finb.astype(jnp.float32))      # background n
-    out_ref[9, 0] = red(pw, sh.astype(jnp.float32))        # shenanigans (window)
+    def red3(patch_bf, parts):                     # exact f32 via 3 bf16 passes
+        return red1(patch_bf, parts[0]) + red1(patch_bf, parts[1]) \
+            + red1(patch_bf, parts[2])
+
+    rx3 = _split3(rx)
+    # Piece-major output layout (1, M, NQ, T_b): each piece's NQ x T_b row
+    # block is contiguous, which makes the combine step's target gather read
+    # whole rows instead of scattered elements.
+    out_ref[0, :, 0, :] = red3(pmb, _split3(x0))                  # flux total
+    out_ref[0, :, 1, :] = red1(pmb, fin.astype(jnp.bfloat16))     # n finite
+    out_ref[0, :, 2, :] = red1(pmb, (x == 0).astype(jnp.bfloat16))  # n zero
+    out_ref[0, :, 3, :] = red3(pmb, rx3)                          # wsum
+    out_ref[0, :, 4, :] = red3(pm_l, rx3)                         # col moment
+    out_ref[0, :, 5, :] = red3(pm_r, rx3)                         # row moment
+    out_ref[0, :, 6, :] = red3(pmb, _split3(e0 * e0))             # err^2
+    out_ref[0, :, 7, :] = red3(pmb, _split3(b0))                  # bkg sum
+    out_ref[0, :, 8, :] = red1(pmb, finb.astype(jnp.bfloat16))    # bkg n
+    out_ref[0, :, 9, :] = red1(pwb, sh.astype(jnp.bfloat16))      # shenanigans
 
 
 @functools.partial(jax.jit, static_argnames=("t_block", "interpret"))
@@ -235,33 +308,39 @@ def _band_launch(images, images_err, backgrounds, pixelflags, patches,
         grid=(n_cells, n_tb),
         in_specs=[cube_spec, cube_spec, cube_spec, cube_spec,
                   pl.BlockSpec((1, M, K), lambda c, t: (c, 0, 0))],
-        out_specs=pl.BlockSpec((NQ, 1, M, t_block), lambda c, t: (0, c, 0, t)),
-        out_shape=jax.ShapeDtypeStruct((NQ, n_cells, M, T), jnp.float32),
+        out_specs=pl.BlockSpec((1, M, NQ, t_block), lambda c, t: (c, 0, 0, t)),
+        out_shape=jax.ShapeDtypeStruct((n_cells, M, NQ, T), jnp.float32),
         interpret=interpret,
         **kwargs,
     )(images, images_err, backgrounds, pixelflags, patches)
 
 
-@functools.partial(jax.jit, static_argnames=("n_targets",))
-def _combine(Q, piece_target, cell_row0, cell_col0, mask_size,
-             n_targets: int):
-    """Piece quantities -> per-target outputs with extract_flux_core semantics."""
-    NQ_, n_cells, M, T = Q.shape
-    # centroid moments need the cell origin applied per piece (1-based):
-    cx_piece = Q[4] + (cell_col0[:, None, None] + 1.0) * Q[3]
-    cy_piece = Q[5] + (cell_row0[:, None, None] + 1.0) * Q[3]
-    stacked = jnp.stack(
-        [Q[0], Q[1], Q[2], Q[3], cx_piece, cy_piece, Q[6], Q[7], Q[8], Q[9]],
-        axis=0).reshape(NQ_, n_cells * M, T)
-    seg = jax.ops.segment_sum(
-        jnp.transpose(stacked, (1, 0, 2)), piece_target,
-        num_segments=n_targets + 1)[:n_targets]          # (N, NQ, T)
+@jax.jit
+def _combine(Q, tp_idx, tp_valid, cell_row0, cell_col0, mask_size):
+    """Piece quantities -> per-target outputs with extract_flux_core semantics.
+
+    ``Q`` is piece-major (n_cells, M, NQ, T): each target's pieces are pulled
+    out with one static row-gather of contiguous (NQ, T) rows (tp_idx, padded
+    rows zero-weighted by tp_valid) and summed densely over the P_max piece
+    axis — measured ~10x faster on TPU than a segment-sum scatter over the
+    flat piece axis.
+    """
+    n_cells, M, NQ_, T = Q.shape
+    N, P_max = tp_idx.shape
+    Qp = Q.reshape(n_cells * M, NQ_, T)
+    Qg = jnp.take(Qp, tp_idx.reshape(-1), axis=0)
+    Qg = (Qg * tp_valid.reshape(-1)[:, None, None]).reshape(N, P_max, NQ_, T)
+    # centroid moments need the cell origin applied per piece (1-based);
+    # padded rows are already zeroed, so unmasked origins cannot leak:
+    col0 = jnp.take(cell_col0, tp_idx.reshape(-1)).reshape(N, P_max)
+    row0 = jnp.take(cell_row0, tp_idx.reshape(-1)).reshape(N, P_max)
+    seg = jnp.sum(Qg, axis=1)                            # (N, NQ, T)
+    cx = jnp.sum(Qg[:, :, 4] + (col0 + 1.0)[:, :, None] * Qg[:, :, 3], axis=1)
+    cy = jnp.sum(Qg[:, :, 5] + (row0 + 1.0)[:, :, None] * Qg[:, :, 3], axis=1)
     total = seg[:, 0]
     n_fin = seg[:, 1]
     n_zero = seg[:, 2]
     wsum = seg[:, 3]
-    cx = seg[:, 4]
-    cy = seg[:, 5]
     err2 = seg[:, 6]
     bsum = seg[:, 7]
     bn = seg[:, 8]
@@ -309,6 +388,6 @@ def band_extract_flux_batch(images, images_err, backgrounds, pixelflags,
                                pieces["patches"], t_block=T - T_main,
                                interpret=interpret))
     Q = Qs[0] if len(Qs) == 1 else jnp.concatenate(Qs, axis=-1)
-    return _combine(Q, pieces["piece_target_dev"], pieces["cell_row0_dev"],
-                    pieces["cell_col0_dev"], pieces["mask_size_dev"],
-                    n_targets=int(pieces["n_targets"]))
+    return _combine(Q, pieces["tp_idx_dev"], pieces["tp_valid_dev"],
+                    pieces["cell_row0_dev"], pieces["cell_col0_dev"],
+                    pieces["mask_size_dev"])

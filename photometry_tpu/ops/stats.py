@@ -87,6 +87,45 @@ def sextractor_mode(x, mask=None, sigma: float = 3.0, maxiters: int = 5,
     return jnp.where((n > 0) & (frac0 >= min_fraction), mode, jnp.nan)
 
 
+def _segment_histogram_matmul(seg_ids, bucket_idx, good, n_segments: int,
+                              n_buckets: int, chunk: int = 32768):
+    """All-segment histogram as chunked dual-one-hot MXU matmuls.
+
+    hist[s, b] = #{i : seg_ids[i] == s and bucket_idx[i] == b and good[i]}
+
+    XLA scatters on TPU run at a few % of HBM peak (CLAUDE.md); building the
+    same histogram as ``onehot_seg^T @ onehot_bucket`` per chunk keeps the
+    work on the MXU (~170 GFLOP bf16 for a 4.2M-pixel FFI at 40 rings x 512
+    buckets — milliseconds) and is exact: the one-hots are bf16-exact 0/1
+    and per-entry counts stay far below f32's 2^24 integer range.
+    """
+    N = seg_ids.shape[0]
+    pad = (-N) % chunk
+    if pad:
+        seg_ids = jnp.concatenate(
+            [seg_ids, jnp.full((pad,), -1, seg_ids.dtype)])
+        bucket_idx = jnp.concatenate(
+            [bucket_idx, jnp.zeros((pad,), bucket_idx.dtype)])
+        good = jnp.concatenate([good, jnp.zeros((pad,), bool)])
+    n_chunks = (N + pad) // chunk
+    seg_c = seg_ids.reshape(n_chunks, chunk)
+    b_c = bucket_idx.reshape(n_chunks, chunk)
+    g_c = good.reshape(n_chunks, chunk)
+    seg_range = jnp.arange(n_segments, dtype=seg_ids.dtype)
+    b_range = jnp.arange(n_buckets, dtype=bucket_idx.dtype)
+
+    def body(hist, xs):
+        s, b, g = xs
+        oh_s = (s[:, None] == seg_range[None, :]).astype(jnp.bfloat16)
+        oh_b = ((b[:, None] == b_range[None, :]) & g[:, None]).astype(jnp.bfloat16)
+        return hist + jnp.einsum("cs,cb->sb", oh_s, oh_b,
+                                 preferred_element_type=jnp.float32), None
+
+    hist0 = jnp.zeros((n_segments, n_buckets), jnp.float32)
+    hist, _ = jax.lax.scan(body, hist0, (seg_c, b_c, g_c))
+    return hist
+
+
 def _refine_parabolic(hist, idx):
     """Sub-bucket refinement of an argmax via a parabola through 3 points."""
     nb = hist.shape[-1]
@@ -134,7 +173,7 @@ def kde_mode(x, mask=None, n_buckets: int = 512, smooth_sigma_frac: float = 0.01
 
 def segment_kde_mode(values, seg_ids, n_segments: int, mask=None,
                      n_buckets: int = 512, smooth_sigma_frac: float = 0.01,
-                     min_count: int = 1):
+                     min_count: int = 1, method: str = "auto"):
     """Histogram-KDE mode of ``values`` within each segment, in one pass.
 
     This is the batched replacement for the reference's per-radial-bin KDE
@@ -149,6 +188,10 @@ def segment_kde_mode(values, seg_ids, n_segments: int, mask=None,
         mask: (N,) True = exclude sample.
         n_buckets: histogram resolution (shared value range across segments).
         min_count: segments with fewer samples yield NaN.
+        method: "matmul" (chunked one-hot MXU histogram, the TPU fast path),
+            "scatter" (segment-sum — faster on CPU), or "auto" (matmul when
+            the default backend is a TPU at trace time).  Both build the
+            identical integer-count histogram.
 
     Returns:
         (n_segments,) array of per-segment modes (NaN where empty).
@@ -163,10 +206,19 @@ def segment_kde_mode(values, seg_ids, n_segments: int, mask=None,
     hi = jnp.nanmax(vg)
     span = jnp.maximum(hi - lo, 1e-30)
     b = jnp.clip(((values - lo) / span * n_buckets).astype(jnp.int32), 0, n_buckets - 1)
-    flat = jnp.where(good, seg_ids * n_buckets + b, n_segments * n_buckets)
-    w = good.astype(jnp.float32)
-    hist = jax.ops.segment_sum(w, flat, num_segments=n_segments * n_buckets + 1)
-    hist = hist[:-1].reshape(n_segments, n_buckets)
+    if method == "auto":
+        # Scatter only wins on CPU; any accelerator (the axon TPU backend
+        # reports its own platform name) takes the MXU histogram.
+        method = "scatter" if jax.default_backend() == "cpu" else "matmul"
+    if method == "matmul":
+        hist = _segment_histogram_matmul(seg_ids, b, good,
+                                         n_segments, n_buckets)
+    else:
+        flat = jnp.where(good, seg_ids * n_buckets + b, n_segments * n_buckets)
+        w = good.astype(jnp.float32)
+        hist = jax.ops.segment_sum(w, flat,
+                                   num_segments=n_segments * n_buckets + 1)
+        hist = hist[:-1].reshape(n_segments, n_buckets)
     counts = jnp.sum(hist, axis=-1)
 
     radius = max(int(3 * smooth_sigma_frac * n_buckets), 2)

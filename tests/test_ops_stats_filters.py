@@ -70,6 +70,23 @@ def test_segment_kde_mode():
     assert np.isnan(modes[4])
 
 
+def test_segment_histogram_matmul_equals_scatter():
+    """The MXU one-hot histogram (TPU fast path) builds the identical
+    integer-count table as the segment-sum scatter, including masked
+    samples, out-of-range segments and NaNs."""
+    rng = np.random.default_rng(9)
+    n = 70000  # not a multiple of the chunk size -> exercises padding
+    values = rng.normal(60.0, 5.0, n).astype(np.float32)
+    values[::97] = np.nan
+    segs = rng.integers(-1, 13, n).astype(np.int32)  # incl. invalid -1 / 12
+    mask = rng.uniform(size=n) < 0.1
+    a = np.asarray(st.segment_kde_mode(values, segs, 12, mask=mask,
+                                       method="matmul"))
+    b = np.asarray(st.segment_kde_mode(values, segs, 12, mask=mask,
+                                       method="scatter"))
+    np.testing.assert_allclose(a, b, rtol=0, atol=0, equal_nan=True)
+
+
 def test_median_filter_matches_scipy():
     from scipy.ndimage import median_filter
     rng = np.random.default_rng(4)
