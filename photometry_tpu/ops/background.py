@@ -14,7 +14,8 @@ array kernels:
 - ``photutils.Background2D(64x64)`` becomes a reshape into tiles,
   fixed-iteration sigma-clipped SExtractor mode per tile (one vectorised
   reduction over all tiles), 3x3 NaN-median filtering of the tile grid,
-  iterative neighbor fill of excluded tiles, and bicubic upsampling.
+  iterative neighbor fill of excluded tiles, and the exact photutils
+  mesh interpolator (cubic B-spline zoom, :mod:`.zoom`).
 
 The entry point :func:`estimate_background` is jit-compiled and vmaps over
 the time axis, so a whole cube's backgrounds are one device program —
@@ -33,6 +34,7 @@ import numpy as np
 
 from .stats import segment_kde_mode, sextractor_mode
 from .spline import make_natural_spline, eval_natural_spline
+from .zoom import spline_zoom
 from ..utils.mathutils import moving_median_central
 
 __all__ = ["estimate_background", "radial_coordinates", "CAMERA_CENTRE_XY"]
@@ -158,9 +160,10 @@ def _tiled_mode(img, mask, tile: int, exclude_fraction: float):
     grid = _nan_median3(grid)
     grid = _fill_nan_tiles(grid)
 
-    # Bicubic upsample of tile centres back to pixel resolution:
-    up = jax.image.resize(grid, (H, W), method="cubic")
-    return up
+    # Cubic B-spline zoom of the tile mesh back to pixel resolution — the
+    # exact photutils BkgZoomInterpolator / scipy.ndimage.zoom(order=3,
+    # mode='reflect', grid_mode=True) semantics (parity-tested vs scipy):
+    return spline_zoom(grid, (H, W))
 
 
 # ---------------------------------------------------------------------------

@@ -111,7 +111,23 @@ def rms_timescale(time, flux, timescale: float = 3600 / 86400, max_bins: int = 1
     time span are masked out; ``max_bins`` must be a static upper bound on
     ``span/timescale`` (1024 covers a 42-day sector at 1-hour bins).
     Returns NaN for an all-NaN flux vector.
+
+    Host-path parity (utilities.py:242-252): called with concrete (non-traced)
+    inputs and a non-all-NaN flux, an empty / all-NaN / zero-span time vector
+    raises ValueError like the reference.  Under jit/vmap the data-dependent
+    raise is impossible, so the traced path returns NaN instead (documented
+    deviation).
     """
+    if not isinstance(time, jax.core.Tracer) and not isinstance(flux, jax.core.Tracer):
+        t_host = np.asarray(time)
+        f_host = np.asarray(flux)
+        flux_allnan = f_host.size == 0 or bool(np.all(~np.isfinite(f_host)))
+        if not flux_allnan:
+            if t_host.size == 0 or bool(np.all(~np.isfinite(t_host))):
+                raise ValueError("Invalid time-vector specified. No valid timestamps.")
+            tmin_h, tmax_h = np.nanmin(t_host), np.nanmax(t_host)
+            if not np.isfinite(tmin_h) or not np.isfinite(tmax_h) or tmax_h - tmin_h <= 0:
+                raise ValueError("Invalid time-vector specified")
     time = jnp.asarray(time)
     flux = jnp.asarray(flux)
     tmin = jnp.nanmin(time)

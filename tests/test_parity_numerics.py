@@ -230,3 +230,21 @@ def test_separable_table_render_matches_gather_form(tmp_path):
         jnp2.asarray(stars[:, 1], jnp2.float32), (13, 13), 5.0))
     want_A = np.asarray(frac.reshape(13 * 13, 2))
     np.testing.assert_allclose(A_sep, want_A, atol=2e-4)
+
+
+def test_spline_zoom_matches_scipy_ndimage():
+    """The background-mesh interpolator reproduces photutils'
+    BkgZoomInterpolator — scipy.ndimage.zoom(order=3, mode='reflect',
+    grid_mode=True) — to f32 precision (reference backgrounds.py:199 via
+    photutils.Background2D)."""
+    from scipy import ndimage
+    from photometry_tpu.ops.zoom import spline_zoom
+
+    rng = np.random.default_rng(11)
+    for (h, w), (H, W) in [((32, 32), (2048, 2048)), ((7, 9), (448, 576)),
+                           ((5, 5), (37, 41))]:
+        mesh = rng.normal(100.0, 10.0, (h, w))
+        want = ndimage.zoom(mesh, (H / h, W / w), order=3, mode="reflect",
+                            grid_mode=True)
+        got = np.asarray(spline_zoom(mesh.astype(np.float32), (H, W)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)

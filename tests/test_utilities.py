@@ -67,6 +67,19 @@ def test_rms_timescale():
     assert r_day < 0.5 * r
     # All-NaN flux -> NaN
     assert np.isnan(float(np.asarray(mu.rms_timescale(time, np.full_like(flux, np.nan)))))
+    # Host-path parity with reference utilities.py:242-252: invalid time
+    # vector raises when the flux has valid samples...
+    with pytest.raises(ValueError):
+        mu.rms_timescale(np.full_like(time, np.nan), flux)
+    with pytest.raises(ValueError):
+        mu.rms_timescale(np.zeros(5), np.ones(5))  # zero span
+    # ...but all-NaN flux short-circuits to NaN before the time check:
+    assert np.isnan(float(np.asarray(
+        mu.rms_timescale(np.full_like(time, np.nan), np.full_like(flux, np.nan)))))
+    # and under jit (traced), the same invalid input returns NaN instead:
+    import jax
+    jitted = jax.jit(mu.rms_timescale)
+    assert np.isnan(float(np.asarray(jitted(np.full_like(time, np.nan), flux))))
 
 
 def test_moving_median_central_matches_host():
