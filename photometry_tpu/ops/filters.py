@@ -163,28 +163,39 @@ def median_filter2d_chunked(img, size: int = 15, chunk_rows: int = 0,
     return out[0] if squeeze else out
 
 
-def _gauss1d(sigma: float, truncate: float = 4.0):
+@functools.lru_cache(maxsize=64)
+def _blur_matrix(n: int, sigma: float, truncate: float = 4.0):
+    """(n, n) band matrix applying a reflect-padded 1-D Gaussian blur."""
     radius = max(int(truncate * sigma + 0.5), 1)
-    t = np.arange(-radius, radius + 1, dtype=np.float32)
+    t = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (t / sigma) ** 2)
-    return jnp.asarray(k / k.sum())
+    k /= k.sum()
+    idx = np.arange(n)[:, None] + np.arange(-radius, radius + 1)[None, :]
+    # numpy/jnp 'reflect' (mirror, edge not repeated); fold repeatedly for
+    # radii larger than the image:
+    for _ in range(max(1, radius // max(n - 1, 1) + 1)):
+        idx = np.abs(idx)
+        idx = np.where(idx >= n, 2 * n - 2 - idx, idx)
+    G = np.zeros((n, n), np.float64)
+    np.add.at(G, (np.repeat(np.arange(n), len(k)), idx.ravel()),
+              np.tile(k, n))
+    return G.astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("sigma",))
 def gaussian_blur2d(img, sigma: float = 1.0):
-    """Separable Gaussian blur with reflect padding."""
+    """Separable Gaussian blur with reflect padding.
+
+    Applied as two static band-matrix matmuls ``G_r @ img @ G_c^T`` — exact
+    and MXU-friendly: under ``vmap`` over thousands of small stamps the
+    equivalent 1-channel ``conv_general_dilated`` lowers to a pathological
+    TPU convolution (measured 36 ms vs ~2 ms for a (2048, 17, 17) batch).
+    """
     img = jnp.asarray(img, jnp.float32)
-    k = _gauss1d(sigma)
-    r = (len(k) - 1) // 2
-    p = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
-    img = jax.lax.conv_general_dilated(
-        p[None, None], k[None, None, :, None].astype(img.dtype),
-        window_strides=(1, 1), padding="VALID")[0, 0]
-    p = jnp.pad(img, ((0, 0), (r, r)), mode="reflect")
-    img = jax.lax.conv_general_dilated(
-        p[None, None], k[None, None, None, :].astype(img.dtype),
-        window_strides=(1, 1), padding="VALID")[0, 0]
-    return img
+    h, w = img.shape
+    Gr = jnp.asarray(_blur_matrix(h, float(sigma)))
+    Gc = jnp.asarray(_blur_matrix(w, float(sigma)))
+    return Gr @ img @ Gc.T
 
 
 _SCHARR_X = np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], np.float32) / 32.0

@@ -9,13 +9,19 @@ fixed-point label-propagation kernels:
 
 - :func:`label_components`: 8-connected components by iterative min-label
   propagation inside a ``lax.while_loop``.  On a (H, W) grid this converges
-  in at most H+W iterations; each iteration is a 3x3 min-pool — pure VPU work,
-  vmappable over a batch of stamps.
+  in at most H+W iterations; each iteration is a 3x3 min-pool — pure VPU work.
 - :func:`watershed_segment`: marker-seeded segmentation by monotone steepest-
   ascent label adoption: every unlabeled above-threshold pixel repeatedly
   adopts the label of its highest-priority (most elevated) labeled neighbor.
   This reproduces watershed basins for the smooth (Gaussian-blurred) images
   K2P2 feeds it, while being a data-independent-shape fixed-point loop.
+
+Batch layout: every function accepts (H, W) *plus any trailing batch dims* —
+spatial neighbors are always the first two axes.  For thousands of small
+stamps, pass (h, w, N) with the batch LAST: the batch axis then fills the
+TPU lane dimension (128 lanes), where a leading-batch ``vmap`` would leave a
+17-px stamp width at ~13% lane utilization inside every while-loop step
+(measured ~5x faster at N=2048, 17x17 stamps).
 """
 
 from __future__ import annotations
@@ -28,34 +34,42 @@ __all__ = ["label_components", "watershed_segment", "dbscan_labels"]
 _INF = jnp.inf
 
 
+def _pad_spatial(x, value):
+    """Pad the first two (spatial) axes by 1; trailing batch dims untouched."""
+    pad = [(1, 1), (1, 1)] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, pad, mode="constant", constant_values=value)
+
+
 def _neighbor_min(lab, mask, connectivity: int = 2):
     """Min of labels over the 3x3 (or cross) neighborhood, inf outside mask."""
-    H, W = lab.shape
+    H, W = lab.shape[:2]
     big = jnp.where(mask, lab, _INF)
-    p = jnp.pad(big, 1, mode="constant", constant_values=_INF)
+    p = _pad_spatial(big, _INF)
     offs = [(0, 1), (2, 1), (1, 0), (1, 2), (1, 1)]
     if connectivity == 2:
         offs += [(0, 0), (0, 2), (2, 0), (2, 2)]
     out = jnp.full_like(big, _INF)
     for dy, dx in offs:
-        out = jnp.minimum(out, jax.lax.dynamic_slice(p, (dy, dx), (H, W)))
+        out = jnp.minimum(out, p[dy:dy + H, dx:dx + W])
     return out
 
 
 def label_components(mask, connectivity: int = 2, max_iters: int = 4096):
-    """Label connected components of a boolean mask.
+    """Label connected components of a boolean mask (trailing dims = batch).
 
     Returns int32 labels: 0 for background, 1..n for components (labels are
-    contiguous and ordered by the component's smallest flat pixel index,
-    which makes results deterministic).
+    contiguous per image and ordered by the component's smallest flat pixel
+    index, which makes results deterministic).
 
     Equivalent to DBSCAN with eps=sqrt(2), min_samples=1 on pixel coordinates
     (the reference's usage at k2p2v2.py:63-86; its min_samples=4 core-point
     rule is applied by callers as a post-filter on component size).
     """
     mask = jnp.asarray(mask, bool)
-    H, W = mask.shape
-    init = jnp.arange(H * W, dtype=jnp.float32).reshape(H, W)
+    H, W = mask.shape[:2]
+    tail = mask.shape[2:]
+    init = jnp.arange(H * W, dtype=jnp.float32).reshape(
+        (H, W) + (1,) * len(tail))
     init = jnp.where(mask, init, _INF)
 
     def cond(state):
@@ -70,19 +84,23 @@ def label_components(mask, connectivity: int = 2, max_iters: int = 4096):
 
     lab, _, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True), 0))
 
-    # Relabel to contiguous 1..n (0 = background).  The root of each
-    # component is the pixel whose flat index equals its label value.
-    flat = lab.ravel()
-    idx = jnp.arange(H * W, dtype=jnp.float32)
-    is_root = mask.ravel() & (flat == idx)
-    comp_rank = jnp.cumsum(is_root.astype(jnp.int32))  # rank at each root
+    # Relabel to contiguous 1..n per image (0 = background).  The root of
+    # each component is the pixel whose flat index equals its label value.
+    flat = lab.reshape((H * W,) + tail)
+    idx = jnp.arange(H * W, dtype=jnp.float32).reshape(
+        (H * W,) + (1,) * len(tail))
+    mflat = mask.reshape(flat.shape)
+    is_root = mflat & (flat == idx)
+    comp_rank = jnp.cumsum(is_root.astype(jnp.int32), axis=0)
     root_idx = jnp.where(jnp.isinf(flat), 0, flat).astype(jnp.int32)
-    labels = jnp.where(mask.ravel(), comp_rank[root_idx], 0)
-    return labels.reshape(H, W).astype(jnp.int32)
+    ranks = jnp.take_along_axis(comp_rank, root_idx, axis=0)
+    labels = jnp.where(mflat, ranks, 0)
+    return labels.reshape(mask.shape).astype(jnp.int32)
 
 
 def dbscan_labels(mask, min_samples: int = 4, max_iters: int = 4096):
-    """Exact DBSCAN(eps=sqrt(2), min_samples) on a pixel grid.
+    """Exact DBSCAN(eps=sqrt(2), min_samples) on a pixel grid
+    (trailing dims = batch).
 
     Reference k2p2v2.py:63-86 runs sklearn DBSCAN on the above-threshold
     pixel coordinates.  On a grid with eps just above sqrt(2), the
@@ -102,13 +120,13 @@ def dbscan_labels(mask, min_samples: int = 4, max_iters: int = 4096):
     Returns int32 labels, 0 = noise/background.
     """
     mask = jnp.asarray(mask, bool)
-    H, W = mask.shape
+    H, W = mask.shape[:2]
     m = mask.astype(jnp.float32)
-    p = jnp.pad(m, 1)
-    cnt = jnp.zeros((H, W), jnp.float32)
+    p = _pad_spatial(m, 0.0)
+    cnt = jnp.zeros_like(m)
     for dy in range(3):
         for dx in range(3):
-            cnt = cnt + jax.lax.dynamic_slice(p, (dy, dx), (H, W))
+            cnt = cnt + p[dy:dy + H, dx:dx + W]
     core = mask & (cnt >= min_samples)
     lab_core = label_components(core, connectivity=2, max_iters=max_iters)
     nb = _neighbor_min(lab_core.astype(jnp.float32), core)
@@ -119,19 +137,19 @@ def dbscan_labels(mask, min_samples: int = 4, max_iters: int = 4096):
 
 def _neighbor_best(priority, labels, connectivity: int = 2):
     """For each pixel: (best neighbor priority, its label) among labeled nbrs."""
-    H, W = priority.shape
+    H, W = priority.shape[:2]
     neg = jnp.float32(-3.4e38)
     pr = jnp.where(labels > 0, priority, neg)
-    p_pr = jnp.pad(pr, 1, mode="constant", constant_values=neg)
-    p_lb = jnp.pad(labels, 1, mode="constant", constant_values=0)
+    p_pr = _pad_spatial(pr, neg)
+    p_lb = _pad_spatial(labels, 0)
     offs = [(0, 1), (2, 1), (1, 0), (1, 2)]
     if connectivity == 2:
         offs += [(0, 0), (0, 2), (2, 0), (2, 2)]
-    best_pr = jnp.full((H, W), neg, jnp.float32)
-    best_lb = jnp.zeros((H, W), labels.dtype)
+    best_pr = jnp.full_like(pr, neg)
+    best_lb = jnp.zeros_like(labels)
     for dy, dx in offs:
-        npr = jax.lax.dynamic_slice(p_pr, (dy, dx), (H, W))
-        nlb = jax.lax.dynamic_slice(p_lb, (dy, dx), (H, W))
+        npr = p_pr[dy:dy + H, dx:dx + W]
+        nlb = p_lb[dy:dy + H, dx:dx + W]
         take = npr > best_pr
         best_pr = jnp.where(take, npr, best_pr)
         best_lb = jnp.where(take, nlb, best_lb)
@@ -140,7 +158,8 @@ def _neighbor_best(priority, labels, connectivity: int = 2):
 
 def watershed_segment(elevation, markers, mask, connectivity: int = 2,
                       max_iters: int = 4096):
-    """Marker-seeded segmentation of ``mask`` guided by an elevation image.
+    """Marker-seeded segmentation of ``mask`` guided by an elevation image
+    (trailing dims = batch).
 
     TPU counterpart of skimage ``watershed(-blurred_flux, markers, mask=...)``
     as used by K2P2 (reference k2p2v2.py:89-288): basins grow outward from
@@ -151,13 +170,13 @@ def watershed_segment(elevation, markers, mask, connectivity: int = 2,
     flooding watershed up to ridge-pixel ties.
 
     Parameters:
-        elevation: (H, W) float image — higher = closer to a peak
+        elevation: (H, W, ...) float image — higher = closer to a peak
             (note: *inverted* sign convention vs skimage's flooding).
-        markers: (H, W) int32, >0 at seed pixels, 0 elsewhere.
-        mask: (H, W) bool, segmentation domain.
+        markers: (H, W, ...) int32, >0 at seed pixels, 0 elsewhere.
+        mask: (H, W, ...) bool, segmentation domain.
 
     Returns:
-        (H, W) int32 labels (0 outside mask / unreached).
+        (H, W, ...) int32 labels (0 outside mask / unreached).
     """
     elevation = jnp.asarray(elevation, jnp.float32)
     mask = jnp.asarray(mask, bool)
