@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.metrics import compute_metrics_batch
+from ..ops.smallsolve import solve_spd_small
 from ..core.status import STATUS
 from .psf_common import (CUTOFF_RADIUS, context_prf, minimum_aperture_mask,
                          setup_psf_target)
@@ -51,7 +52,9 @@ def _linpsf_timeseries_impl(images, rows_t, cols_t, valid, prf, shape, S: int):
         Aw = A * good[:, None] * valid[None, :]
         bw = b * good
         AtA = Aw.T @ Aw + 1e-9 * jnp.eye(S)
-        fluxes = jnp.linalg.solve(AtA, Aw.T @ bw)
+        # Unrolled Cholesky: batched tiny LU is ~27x slower on TPU
+        # (ops/smallsolve.py).
+        fluxes = solve_spd_small(AtA, Aw.T @ bw)
         fluxes = jnp.where(valid, fluxes, 0.0)
         model = (A @ fluxes).reshape(h, w)
         return fluxes, model

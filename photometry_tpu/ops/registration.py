@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .filters import scharr
+from .smallsolve import solve_spd_small
 
 __all__ = ["prepare_flux", "ecc_align", "warp_params_to_matrix", "N_PARAMS"]
 
@@ -182,7 +183,7 @@ def ecc_align(ref, img, mode: str = "euclidian", n_iters: int = 50,
         # ECC error vector: lambda * g - w  with lambda = ||w||^2 / (g.w)
         lam = (wnorm ** 2) / jnp.maximum(gw, 1e-20)
         err = lam * g0f - w0f
-        dp = jnp.linalg.solve(JtJ, Jf.T @ err)
+        dp = solve_spd_small(JtJ, Jf.T @ err)
         cc = gw / jnp.maximum(wnorm, 1e-30)
         return p + dp, cc
 
