@@ -22,3 +22,18 @@ import jax  # noqa: E402
 
 if os.environ.get("PHOTOMETRY_TPU_TEST_ON_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache for the CPU test backend, in its OWN
+    # directory: repeated pytest runs recompile the same programs and
+    # dominate the ~20 min suite wall-clock on this 1-core host.  The
+    # TPU-backend cache stays separate (CLAUDE.md: remote-compiler TPU
+    # artifacts must never be reused for CPU — this cache is populated
+    # exclusively by the local CPU compiler).
+    _cache = os.path.join(os.path.expanduser("~"), ".photometry_tpu",
+                          "jax_cache_cpu_tests")
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
