@@ -190,3 +190,29 @@ def test_time_moving_nanmean_matches_host_loop():
         # blocked form (halo'd chunks) agrees, incl. when blocks are small:
         got_b = time_moving_nanmean_blocked(x, window, block=7)
         np.testing.assert_allclose(got_b, want, rtol=2e-5, equal_nan=True)
+
+
+def test_masked_median_bisect_exact_vs_numpy():
+    """masked_median (value-bisection selection) is EXACTLY np.nanmedian of
+    the selected entries — both order statistics for even counts, NaN for
+    empty selections, duplicates, and the short-axis sort fallback."""
+    rng = np.random.default_rng(3)
+    for L in (300, 1024, 4097):
+        x = rng.normal(50.0, 2000.0, (5, L)).astype(np.float32)
+        x[rng.random((5, L)) < 0.1] = np.nan
+        good = np.isfinite(x) & (rng.random((5, L)) < 0.8)
+        good[0] = False                      # empty selection -> NaN
+        x[1] = 7.5                           # all-duplicate row
+        good[1] = True
+        with np.errstate(invalid="ignore"):
+            want = np.nanmedian(np.where(good, x, np.nan), axis=-1)
+        got = np.asarray(st.masked_median(jnp.asarray(x), jnp.asarray(good),
+                                          min_bisect=0))
+        np.testing.assert_array_equal(got, want)
+    # short-axis fallback path (sort) agrees too:
+    x = rng.normal(0, 1, (4, 9)).astype(np.float32)
+    good = rng.random((4, 9)) < 0.7
+    with np.errstate(invalid="ignore"):
+        want = np.nanmedian(np.where(good, x, np.nan), axis=-1)
+    got = np.asarray(st.masked_median(jnp.asarray(x), jnp.asarray(good)))
+    np.testing.assert_array_equal(got, want)
