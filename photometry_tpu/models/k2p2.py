@@ -82,6 +82,21 @@ def _kde_mode_scott(flux, valid, n_grid: int = 100, newton_iters: int = 3):
     dens = jnp.sum(jnp.where(valid[:, None], jnp.exp(-0.5 * z * z), 0.0), axis=0)
     x0 = grid[jnp.argmax(dens)]
 
+    # Second-stage fine grid around the coarse argmax.  When the value range
+    # is wide, the coarse spacing can exceed the bandwidth, so the coarse
+    # argmax may sit a full grid step from the true peak — and the guarded
+    # Newton below can freeze there when the KDE is not locally concave
+    # (neighboring mass makes d2 >= 0).  Resolving one coarse step at
+    # sub-bandwidth spacing first makes the refinement robust (reference
+    # uses a Powell minimizer from the statsmodels grid argmax,
+    # k2p2v2.py:417-421).
+    step_c = (hi - lo) / (n_grid - 1)
+    n_fine = 64
+    fgrid = (x0 - step_c) + 2 * step_c * jnp.arange(n_fine, dtype=flux.dtype) / (n_fine - 1)
+    zf = (fgrid[None, :] - flux[:, None]) / bw
+    densf = jnp.sum(jnp.where(valid[:, None], jnp.exp(-0.5 * zf * zf), 0.0), axis=0)
+    x0 = fgrid[jnp.argmax(densf)]
+
     # Newton refinement on the smooth KDE (analytic first/second derivatives):
     def newton(x, _):
         u = (x - flux) / bw

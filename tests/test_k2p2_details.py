@@ -110,3 +110,33 @@ def test_edge_flags():
     out = _call(img, [(2.0, 8.0, 9.0)])
     assert out["edge"][0]  # bottom edge touched
     assert not out["edge"][1]
+
+
+def test_clean_background_clump_mode_not_below_data():
+    """A well-subtracted stamp has its positive pixels in a tight clump
+    near zero plus a wide star tail.  The coarse KDE grid spacing then
+    exceeds the Scott bandwidth and the coarse argmax can land BELOW all
+    data, where the guarded Newton step freezes; the mode must still land
+    inside the noise clump so the below-mode MAD (and so the cut) stays
+    finite and a real mask is found (the failure produced NaN cuts and
+    2x2 fallback masks on clean pipeline sum images; reference behavior
+    k2p2v2.py:401-427 refines with a Powell minimizer)."""
+    rng = np.random.default_rng(5)
+    img = rng.normal(0.0, 0.08, (15, 15))   # clean background, half <= 0
+    _gauss_star(img, 7, 7, 3000, sigma=1.0)
+    _gauss_star(img, 12, 5, 1200, sigma=1.0)
+
+    from photometry_tpu.models.k2p2 import _threshold
+    cut, bw, any_flux = _threshold(jnp.asarray(img, jnp.float32),
+                                   K2P2Params(thresh=0.8))
+    assert np.isfinite(float(cut))
+    assert bool(any_flux)
+
+    params = K2P2Params(thresh=0.8, min_no_pixels_in_mask=4,
+                        min_for_cluster=4, ws_blur=0.5, ws_thres=0.0,
+                        ws_footprint=3, segmentation=True,
+                        extend_overflow=True)
+    out = _call(img, [(7.0, 7.0, 10.7), (12.0, 5.0, 11.4)], params=params)
+    assert out["found_mask"], "mask must not fall back to the 2x2 minimum"
+    assert out["mask_size"] >= 15
+    assert out["mask"][7, 7]
