@@ -185,3 +185,41 @@ def test_isolated_star_flux_within_5_percent(setup):
         assert 0.95 < ratio < 1.05, f"star {sid}: ratio {ratio}"
         checked += 1
     assert checked >= 4, "corpus has too few isolated stars"
+
+
+@pytest.fixture(scope="module")
+def clean_pair_setup(tmp_path_factory):
+    """Sim draw whose clean background + 5-px blended pair caught a real
+    bug: the KDE-mode threshold froze below all data on well-subtracted
+    stamps, yielding NaN cuts and 2x2 fallback masks (fixed in
+    models/k2p2._kde_mode_scott fine-grid refinement)."""
+    d = str(tmp_path_factory.mktemp("ap_pair"))
+    sim = simulate_sector(SimConfig(shape=(128, 128), n_times=12, n_stars=25,
+                                    seed=99, tmag_range=(8.0, 13.0)))
+    sim.write_ffis(d)
+    sim.write_catalog(d)
+    prepare_photometry(d)
+    return sim, SectorContext(d, 1, 3, 2)
+
+
+def test_clean_background_pair_and_parity(clean_pair_setup):
+    sim, ctx = clean_pair_setup
+    results = extract_aperture_batch(ctx, [int(s) for s in sim.starid])
+    by_sid = {r.starid: r for r in results}
+    # The 5.1-px blended pair must get real watershed masks, not fallbacks:
+    for sid in (100000013, 100000016):
+        r = by_sid[sid]
+        assert r.status in (STATUS.OK, STATUS.WARNING)
+        assert r.mask.sum() >= 15, f"star {sid} fell back to minimum aperture"
+    # Median flux parity within 5% for every isolated (uncontaminated) star:
+    checked = 0
+    for i, sid in enumerate(sim.starid):
+        r = by_sid[int(sid)]
+        if r.status not in (STATUS.OK, STATUS.WARNING):
+            continue
+        if r.details.get("contamination", 0) > 0.05 or r.skip_targets:
+            continue
+        med_ratio = np.nanmedian(r.lightcurve["flux"] / sim.flux_true[i])
+        assert 0.90 < med_ratio < 1.05, f"star {sid}: ratio {med_ratio}"
+        checked += 1
+    assert checked >= 18
