@@ -198,13 +198,20 @@ class PRF:
                                vt[:k].T.astype(np.float32))
         return self._svd_cache
 
-    def _axis_values(self, F, center: float, coord, n: int):
+    def _axis_values(self, F, center: float, coord, n: int,
+                     with_grad: bool = False):
         """Catmull-Rom interpolation of the (L0, K) factor table at the
         arithmetic queries y_i = (i - coord)*oversample + center, i < n.
 
         The stride is the (integer) oversample, so all n queries share one
         fractional phase: ONE dynamic_slice + 4 static strided slices —
         no gathers (TPU gathers serialize and can fault at scale).
+
+        With ``with_grad`` also returns d(vals)/d(coord): the SAME four
+        slices combined with the derivative basis weights (times the
+        -oversample chain factor) — analytically exact and nearly free,
+        which is what makes the table-PRF LM Jacobian closed-form
+        (Catmull-Rom is C^1, so the derivative is continuous across cells).
         """
         os_ = int(round(self.oversample))
         L0, K = F.shape
@@ -216,11 +223,17 @@ class PRF:
         Fp = jnp.pad(F, ((L, L), (0, 0)))
         sl = jax.lax.dynamic_slice(Fp, (b + L, 0), (L, K))
         wb = jnp.stack([jnp.ones_like(t), t, t * t, t * t * t]) @ _CRM_NP  # (4,)
-        vals = sum(wb[j] * sl[j:j + n * os_].reshape(n, os_, K)[:, 0, :]
-                   for j in range(4))
+        phases = [sl[j:j + n * os_].reshape(n, os_, K)[:, 0, :] for j in range(4)]
+        vals = sum(wb[j] * phases[j] for j in range(4))
         y_i = y0 + os_ * jnp.arange(n, dtype=jnp.float32)
         valid = (y_i >= 0) & (y_i <= L0 - 1)
-        return jnp.where(valid[:, None], vals, 0.0)
+        vals = jnp.where(valid[:, None], vals, 0.0)
+        if not with_grad:
+            return vals
+        zero = jnp.zeros_like(t)
+        dwb = jnp.stack([zero, jnp.ones_like(t), 2 * t, 3 * t * t]) @ _CRM_NP
+        dvals = sum(dwb[j] * phases[j] for j in range(4)) * jnp.float32(-os_)
+        return vals, jnp.where(valid[:, None], dvals, 0.0)
 
     def _render_separable(self, params, shape, cutoff_radius):
         """(S, 3) stars -> (h, w) image via the SVD-separable table render."""
@@ -239,6 +252,38 @@ class PRF:
             return img * p[2]
 
         return jnp.sum(jax.vmap(one_star)(params), axis=0)
+
+    def render_separable_with_grads(self, rows, cols, shape, cutoff_radius):
+        """Per-star unit-flux table renders + position derivatives.
+
+        Returns ``(q, q_row, q_col)``, each (S, h, w): the unit-flux PRF
+        image of each star and its analytic derivatives w.r.t. the star's
+        row/column — closed-form via the Catmull-Rom derivative weights on
+        the shared axis slices (:meth:`_axis_values` ``with_grad``).  Lets
+        the PSF LM fit build its Jacobian in one pass instead of 3S
+        ``jacfwd`` forward renders (models/psf_fit.py), the same speedup
+        the analytic-Gaussian path gets from ``pixel_fraction_grads``.
+        """
+        U, V = self._svd_factors()
+        h, w = shape
+
+        def one_star(r0, c0):
+            u, du = self._axis_values(U, self.center_y, r0, h, with_grad=True)
+            v, dv = self._axis_values(V, self.center_x, c0, w, with_grad=True)
+            q = u @ v.T
+            qr = du @ v.T
+            qc = u @ dv.T
+            if cutoff_radius is not None:
+                rr = jnp.arange(h, dtype=jnp.float32)[:, None] - r0
+                cc = jnp.arange(w, dtype=jnp.float32)[None, :] - c0
+                cut = rr * rr + cc * cc < cutoff_radius ** 2
+                q = jnp.where(cut, q, 0.0)
+                qr = jnp.where(cut, qr, 0.0)
+                qc = jnp.where(cut, qc, 0.0)
+            return q, qr, qc
+
+        return jax.vmap(one_star)(jnp.asarray(rows, jnp.float32),
+                                  jnp.asarray(cols, jnp.float32))
 
     @property
     def _grid_separable(self) -> bool:

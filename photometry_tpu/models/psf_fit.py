@@ -98,6 +98,27 @@ def make_psf_fitter(prf, shape, S: int, lhood_stat: str = "Gaussian_d",
         j_flux = (-swg * q).reshape(h * w, S)
         return jnp.concatenate([j_row, j_col, j_flux], axis=1)
 
+    def separable_jac(p, sw):
+        """Closed-form LM Jacobian for calibrated-table PRFs: per-star
+        unit renders + Catmull-Rom position derivatives from the shared
+        axis slices (prf.render_separable_with_grads) instead of 3S
+        jacfwd forward renders."""
+        rows, cols, fluxes = _unpack(p, S)
+        q, qr, qc = prf.render_separable_with_grads(rows, cols, (h, w),
+                                                    CUTOFF_RADIUS)
+        # (S, h, w) -> (h, w, S):
+        q = jnp.moveaxis(q, 0, -1)
+        qr = jnp.moveaxis(qr, 0, -1)
+        qc = jnp.moveaxis(qc, 0, -1)
+        swg = sw.reshape(h, w, 1)
+        # resid = sw*(img0 - model); model = sum_s flux_s * q_s(row_s, col_s)
+        # and qr = d q_s / d row_s directly:
+        j_row = (-swg * fluxes * qr).reshape(h * w, S)
+        j_col = (-swg * fluxes * qc).reshape(h * w, S)
+        j_flux = (-swg * q).reshape(h * w, S)
+        return jnp.concatenate([j_row, j_col, j_flux], axis=1)
+
+
     def fit(img, bkg, var_const, p0, valid):
         good = jnp.isfinite(img)
         img0 = jnp.nan_to_num(img)
@@ -113,6 +134,8 @@ def make_psf_fitter(prf, shape, S: int, lhood_stat: str = "Gaussian_d",
             r = resid(p)
             if prf.has_analytic_grads:
                 J = analytic_jac(p, sw)                   # (h*w, 3S)
+            elif prf._grid_separable:
+                J = separable_jac(p, sw)                  # (h*w, 3S)
             else:
                 J = jax.jacfwd(resid)(p)                  # (h*w, 3S)
             # Freeze parameters of dummy stars:
@@ -141,6 +164,8 @@ def make_psf_fitter(prf, shape, S: int, lhood_stat: str = "Gaussian_d",
         sw = jnp.sqrt(wmap).ravel()
         if prf.has_analytic_grads:
             J = analytic_jac(p, sw)
+        elif prf._grid_separable:
+            J = separable_jac(p, sw)
         else:
             J = jax.jacfwd(lambda pp: sw * (img0 - render(pp)).ravel())(p)
         JtJ = J.T @ J
