@@ -198,17 +198,51 @@ class PRF:
                                vt[:k].T.astype(np.float32))
         return self._svd_cache
 
+    def _axis_padded_table(self, F, n: int):
+        """Zero-padded factor table + static row offsets for the one-hot
+        axis evaluation.
+
+        ``Fz`` covers every row index ``b + i*oversample + j`` reachable
+        while any query is inside the table's domain (b clamped into that
+        range; fully-out-of-domain coords are zeroed by the validity mask
+        in :meth:`_axis_values`).  ``offs[(i, j)]`` are the static offsets
+        from ``b``.  Cached as small host arrays (tens of KB) — safe to
+        embed as jit constants, and never traced (caching a traced
+        ``device_put`` here leaked tracers out of scan bodies).
+        """
+        cache = getattr(self, "_axis_mm_cache", None)
+        if cache is None:
+            cache = self._axis_mm_cache = {}
+        key = (id(F), n)
+        if key not in cache:
+            os_ = int(round(self.oversample))
+            Fh = np.asarray(F, np.float32)
+            L0, K = Fh.shape
+            b_lo = -(n - 1) * os_ - 1
+            b_hi = L0 - 2
+            Lz = (b_hi - b_lo) + (n - 1) * os_ + 4
+            Fz = np.zeros((Lz, K), np.float32)
+            Fz[-b_lo:-b_lo + L0] = Fh
+            offs = (np.arange(n, dtype=np.int32)[:, None] * os_
+                    + np.arange(4, dtype=np.int32)[None, :]).reshape(-1)
+            cache[key] = (b_lo, b_hi, Lz, offs, Fz)
+        return cache[key]
+
     def _axis_values(self, F, center: float, coord, n: int,
                      with_grad: bool = False):
         """Catmull-Rom interpolation of the (L0, K) factor table at the
         arithmetic queries y_i = (i - coord)*oversample + center, i < n.
 
         The stride is the (integer) oversample, so all n queries share one
-        fractional phase: ONE dynamic_slice + 4 static strided slices —
-        no gathers (TPU gathers serialize and can fault at scale).
+        fractional phase; the 4n needed table rows are selected with a
+        (4n, Lz) one-hot matmul against the zero-padded factor table
+        (:meth:`_axis_padded_table`) — gather-free (a batched
+        dynamic_slice lowers to a row gather, pathological on TPU:
+        CLAUDE.md, ops/bandext.py use the same replacement), exact
+        (0/1 one-hot, f32 HIGHEST).
 
         With ``with_grad`` also returns d(vals)/d(coord): the SAME four
-        slices combined with the derivative basis weights (times the
+        phase rows combined with the derivative basis weights (times the
         -oversample chain factor) — analytically exact and nearly free,
         which is what makes the table-PRF LM Jacobian closed-form
         (Catmull-Rom is C^1, so the derivative is continuous across cells).
@@ -219,12 +253,16 @@ class PRF:
         fl = jnp.floor(y0)
         b = fl.astype(jnp.int32) - 1
         t = (y0 - fl).astype(jnp.float32)
-        L = n * os_ + 4
-        Fp = jnp.pad(F, ((L, L), (0, 0)))
-        sl = jax.lax.dynamic_slice(Fp, (b + L, 0), (L, K))
+        b_lo, b_hi, Lz, offs, Fz = self._axis_padded_table(F, n)
+        idx = jnp.clip(b, b_lo, b_hi) - b_lo
+        rowpos = idx + jnp.asarray(offs)                       # (4n,)
+        oh = (jnp.arange(Lz, dtype=jnp.int32)[None, :]
+              == rowpos[:, None]).astype(jnp.float32)          # (4n, Lz)
+        sel = jnp.einsum("rl,lk->rk", oh, jnp.asarray(Fz),
+                         precision=jax.lax.Precision.HIGHEST)
+        sel = sel.reshape(n, 4, K)
         wb = jnp.stack([jnp.ones_like(t), t, t * t, t * t * t]) @ _CRM_NP  # (4,)
-        phases = [sl[j:j + n * os_].reshape(n, os_, K)[:, 0, :] for j in range(4)]
-        vals = sum(wb[j] * phases[j] for j in range(4))
+        vals = sum(wb[j] * sel[:, j] for j in range(4))
         y_i = y0 + os_ * jnp.arange(n, dtype=jnp.float32)
         valid = (y_i >= 0) & (y_i <= L0 - 1)
         vals = jnp.where(valid[:, None], vals, 0.0)
@@ -232,7 +270,7 @@ class PRF:
             return vals
         zero = jnp.zeros_like(t)
         dwb = jnp.stack([zero, jnp.ones_like(t), 2 * t, 3 * t * t]) @ _CRM_NP
-        dvals = sum(dwb[j] * phases[j] for j in range(4)) * jnp.float32(-os_)
+        dvals = sum(dwb[j] * sel[:, j] for j in range(4)) * jnp.float32(-os_)
         return vals, jnp.where(valid[:, None], dvals, 0.0)
 
     def _render_separable(self, params, shape, cutoff_radius):
