@@ -348,6 +348,15 @@ def BinTableHDU(columns: dict, header=None, name=None):
 
 def _open_maybe_gzip(path, mode="rb"):
     if str(path).endswith(".gz"):
+        if "r" in mode:
+            # Whole-file native inflate (GIL-free zlib, native/fastio.cpp)
+            # instead of Python's incremental gzip stream: FFI ingestion
+            # reads hundreds of ~16 MB members per sector-CCD and the
+            # loader thread pool overlaps these calls (io/loader.py).
+            from ..native_ops import gunzip
+            with open(path, "rb") as fh:
+                data = fh.read()
+            return _io.BytesIO(gunzip(data))
         return gzip.open(path, mode)
     return open(path, mode)
 
