@@ -175,6 +175,46 @@ def bench_tpu(sumimage, rows, cols, tmag, n_targets=N_TARGETS, h=STAMP,
     }
 
 
+def bench_psf(n_targets=1024, T=128, h=13, w=13, S=4):
+    """PSF-extraction throughput (BASELINE.json primary metric includes
+    PSF): batched warm-started LM fits with the analytic-Gaussian PRF at a
+    representative crowded configuration, data synthesized on device."""
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, ".")
+    from photometry_tpu.models.prf import PRF
+    from photometry_tpu.models.psf_fit import fit_psf_timeseries_batch
+
+    prf = PRF.gaussian(sigma=1.1)
+    key = jax.random.PRNGKey(2)
+    rows = 6.0 + jax.random.uniform(key, (n_targets, S), minval=-2, maxval=2)
+    cols = 6.0 + jax.random.uniform(jax.random.fold_in(key, 1), (n_targets, S),
+                                    minval=-2, maxval=2)
+    fluxes = 1000.0 + 4000.0 * jax.random.uniform(jax.random.fold_in(key, 2),
+                                                  (n_targets, S))
+    p0 = jnp.concatenate([rows, cols, fluxes], axis=1)
+    valid = jnp.ones((n_targets, S), bool)
+    base = prf.integrate_to_image(jnp.stack([rows[0], cols[0], fluxes[0]], 1),
+                                  (h, w), 5.0)
+    imgs = jnp.broadcast_to(base, (n_targets, T, h, w)) + 1.0
+    imgs = (imgs + 0.5 * jax.random.normal(jax.random.fold_in(key, 3),
+                                           (n_targets, T, h, w)))
+    imgs = imgs.block_until_ready()
+    bkgs = jnp.zeros((n_targets, T, h, w))
+    mini = jnp.ones((n_targets, h, w), bool)
+    tidx = jnp.zeros((n_targets,), jnp.int32)
+
+    def run():
+        out = fit_psf_timeseries_batch(imgs, bkgs, 1.0, p0, valid, mini,
+                                       tidx, prf, (h, w), S)
+        return np.asarray(out["flux"][:1, 0])
+
+    run()                                # warmup/compile + completion fetch
+    tic = time.perf_counter()
+    run()
+    return n_targets / (time.perf_counter() - tic)
+
+
 def bench_backgrounds(n_frames=16, tile=64):
     """Secondary metric: FFI backgrounds/sec per CCD stack (prepare stage)."""
     import jax
@@ -235,6 +275,7 @@ def main():
     sumimage, rows, cols, tmag = make_field()
     tpu = bench_tpu(sumimage, rows, cols, tmag)
     bkg_rate = bench_backgrounds()
+    psf_rate = bench_psf()
     ref_rate = bench_reference_numpy(sumimage, rows, cols)
     result = {
         "metric": "aperture_extraction_targets_per_sec_per_chip",
@@ -246,6 +287,7 @@ def main():
                   f"blocks, banded MXU extraction kernel",
         "extraction_effective_gbps": round(float(tpu["effective_gbps"]), 2),
         "backgrounds_per_sec_per_ccd_stack": round(float(bkg_rate), 2),
+        "psf_targets_per_sec_per_chip": round(float(psf_rate), 2),
         "cpu_baseline_targets_per_sec": round(float(ref_rate), 3),
     }
     print(json.dumps(result))
