@@ -26,7 +26,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import TIME_AXIS, TARGET_AXIS, cube_sharding, targets_sharding
 
-__all__ = ["sharded_time_smooth", "sharded_sumimage", "sharded_extract_flux",
+__all__ = ["sharded_psf_fit",
+           "sharded_time_smooth", "sharded_sumimage", "sharded_extract_flux",
            "prepare_step", "extraction_step", "pad_to_multiple"]
 
 
@@ -199,6 +200,40 @@ def prepare_step(images, quality, mesh, tile: int = 16, window: int = 3):
                           NamedSharding(mesh, P(TIME_AXIS)))
     s = sharded_sumimage(sub, good, mesh)
     return sub, bkg_s, s
+
+
+def sharded_psf_fit(images, backgrounds, var_const, p0, valid, mini_ap,
+                    target_idx, prf, shape, S: int, mesh,
+                    lhood_stat: str = "Gaussian_d"):
+    """Target-sharded PSF LM fit across every device of the mesh.
+
+    The PSF fit is embarrassingly parallel over targets
+    (models/psf_fit.fit_psf_timeseries_batch is a pure vmap over N), so
+    multi-chip scaling shards N over the FLATTENED (time x targets) mesh —
+    no collectives; GSPMD partitions the whole program from the input
+    shardings alone.  The target axis is padded to the device count with
+    dummy stamps (dropped from the returned dict).
+    """
+    from ..models.psf_fit import fit_psf_timeseries_batch
+
+    n_dev = mesh.size
+    N = images.shape[0]
+    spec = NamedSharding(mesh, P((TIME_AXIS, TARGET_AXIS)))
+    rep = NamedSharding(mesh, P())
+
+    def pad(a):
+        a = np.asarray(a)
+        padn = (-len(a)) % n_dev
+        if padn:
+            a = np.concatenate([a, np.repeat(a[-1:], padn, axis=0)])
+        return a
+
+    args = [jax.device_put(pad(a), spec) for a in
+            (images, backgrounds, p0, valid, mini_ap, target_idx)]
+    out = fit_psf_timeseries_batch(args[0], args[1], jax.device_put(
+        np.float32(var_const), rep), args[2], args[3], args[4], args[5],
+        prf, shape, S, lhood_stat)
+    return {k: v[:N] for k, v in out.items()}
 
 
 def extraction_step(images, images_err, backgrounds, pixelflags,

@@ -182,3 +182,38 @@ def test_sharded_band_extract_matches_single(mesh):
         else:
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4,
                                        equal_nan=True, err_msg=name)
+
+
+def test_sharded_psf_fit_matches_single_device(mesh):
+    """PSF fits shard over the flattened mesh with no collectives; results
+    must equal the single-device batched fit exactly, incl. a non-divisible
+    target count (padding dropped)."""
+    from photometry_tpu.models.prf import PRF
+    from photometry_tpu.models.psf_fit import fit_psf_timeseries_batch
+    from photometry_tpu.parallel.sharded import sharded_psf_fit
+
+    prf = PRF.gaussian(sigma=1.1)
+    N, T, h, w, S = 11, 4, 13, 13, 2          # 11 % 8 != 0 on purpose
+    rng = np.random.default_rng(3)
+    rows = 6.0 + rng.uniform(-1.5, 1.5, (N, S)).astype(np.float32)
+    cols = 6.0 + rng.uniform(-1.5, 1.5, (N, S)).astype(np.float32)
+    fx = rng.uniform(3000, 9000, (N, S)).astype(np.float32)
+    imgs = np.stack([np.asarray(prf.integrate_to_image(
+        np.stack([rows[i], cols[i], fx[i]], 1), (h, w), 5.0)) for i in range(N)])
+    imgs = np.repeat(imgs[:, None], T, axis=1)
+    imgs += rng.normal(0, 0.5, imgs.shape).astype(np.float32)
+    p0 = np.concatenate([rows + 0.2, cols - 0.1, fx * 0.8], 1).astype(np.float32)
+    valid = np.ones((N, S), bool)
+    bkgs = np.zeros((N, T, h, w), np.float32)
+    mini = np.ones((N, h, w), bool)
+    tidx = np.zeros(N, np.int32)
+
+    single = fit_psf_timeseries_batch(jnp.asarray(imgs), jnp.asarray(bkgs),
+                                      1.0, jnp.asarray(p0), jnp.asarray(valid),
+                                      jnp.asarray(mini), jnp.asarray(tidx),
+                                      prf, (h, w), S)
+    sharded = sharded_psf_fit(imgs, bkgs, 1.0, p0, valid, mini, tidx,
+                              prf, (h, w), S, mesh)
+    for k in ("flux", "flux_err", "pos"):
+        np.testing.assert_allclose(np.asarray(sharded[k]),
+                                   np.asarray(single[k]), rtol=1e-5, atol=1e-4)
