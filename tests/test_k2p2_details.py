@@ -140,3 +140,62 @@ def test_clean_background_clump_mode_not_below_data():
     assert out["found_mask"], "mask must not fall back to the 2x2 minimum"
     assert out["mask_size"] >= 15
     assert out["mask"][7, 7]
+
+
+def test_mask_robustness_fuzz():
+    """Randomized stamp corpus: every high-SNR target must get a real mask
+    containing its position, and the threshold must never go NaN — across
+    noise scales spanning 300x, background offsets, PSF widths 0.9-1.6 px
+    and random near neighbors (the corpus family that exposed the
+    clean-stamp KDE-mode freeze)."""
+    from photometry_tpu.models.k2p2 import build_masks_batch
+
+    params = K2P2Params(thresh=0.8, min_no_pixels_in_mask=4,
+                        min_for_cluster=4, ws_blur=0.5, ws_thres=0.0,
+                        ws_footprint=3, segmentation=True,
+                        extend_overflow=True)
+    H = W = 17
+    N, K = 128, 4
+    imgs = np.zeros((N, H, W), np.float32)
+    cc = np.full((N, K), 1e9, np.float32); cr = np.full((N, K), 1e9, np.float32)
+    ct = np.full((N, K), 30.0, np.float32); cv = np.zeros((N, K), bool)
+    cs = np.zeros((N, K), np.int64)
+    tr = np.zeros(N, np.float32); tc = np.zeros(N, np.float32)
+    tt = np.zeros(N, np.float32); snrs = np.zeros(N)
+    for t in range(N):
+        rng = np.random.default_rng(t)
+        noise = float(rng.choice([0.02, 0.08, 0.3, 1.5, 6.0]))
+        img = rng.normal(0.0, noise, (H, W))
+        img += float(rng.choice([0.0, -0.5, 0.5, 3.0]))
+        tmag = rng.uniform(8.0, 13.5)
+        flux = 10 ** (-0.4 * (tmag - 20.451)) / 12
+        sig = rng.uniform(0.9, 1.6)
+        r0 = H / 2 + rng.uniform(-0.5, 0.5)
+        c0 = W / 2 + rng.uniform(-0.5, 0.5)
+        _gauss_star(img, r0, c0, flux, sigma=sig)
+        stars = [(r0, c0, tmag)]
+        if rng.random() < 0.5:
+            dist = rng.uniform(3.0, 8.0); ang = rng.uniform(0, 2 * np.pi)
+            r1, c1 = r0 + dist * np.sin(ang), c0 + dist * np.cos(ang)
+            tm1 = tmag + rng.uniform(-1, 2)
+            if 1 <= r1 < H - 1 and 1 <= c1 < W - 1:
+                _gauss_star(img, r1, c1, 10 ** (-0.4 * (tm1 - 20.451)) / 12)
+                stars.append((r1, c1, tm1))
+        imgs[t] = img
+        for i, (r, c, m) in enumerate(stars):
+            cr[t, i], cc[t, i], ct[t, i], cv[t, i], cs[t, i] = r, c, m, True, i + 1
+        tr[t], tc[t], tt[t] = r0, c0, tmag
+        snrs[t] = flux / (2 * np.pi * sig ** 2) / noise
+
+    out = build_masks_batch(jnp.asarray(imgs), jnp.asarray(cc), jnp.asarray(cr),
+                            jnp.asarray(ct), jnp.asarray(cs), jnp.asarray(cv),
+                            jnp.asarray(tr), jnp.asarray(tc), jnp.asarray(tt),
+                            params=params)
+    cut = np.asarray(out["cut"]); found = np.asarray(out["found_mask"])
+    masks = np.asarray(out["mask"])
+    for t in range(N):
+        assert np.isfinite(cut[t]), f"trial {t}: NaN threshold"
+        if snrs[t] > 30:
+            assert found[t], f"trial {t}: no mask at SNR {snrs[t]:.0f}"
+            assert masks[t, int(round(tr[t])), int(round(tc[t]))], \
+                f"trial {t}: target outside its mask"
