@@ -223,3 +223,33 @@ def test_clean_background_pair_and_parity(clean_pair_setup):
         assert 0.90 < med_ratio < 1.05, f"star {sid}: ratio {med_ratio}"
         checked += 1
     assert checked >= 18
+
+
+def test_flux_err_tracks_realized_scatter(tmp_path):
+    """Error-propagation regression: on a jitter-free, variability-free
+    sector, realized light-curve scatter must sit near the reported
+    photon error (excess only from background-fit residuals).  Catches
+    dropped terms in the err-cube propagation."""
+    d = str(tmp_path)
+    sim = simulate_sector(SimConfig(shape=(128, 128), n_times=24, n_stars=20,
+                                    seed=77, tmag_range=(8.5, 12.0),
+                                    jitter_amp=0.0, variable_fraction=0.0))
+    sim.write_ffis(d)
+    sim.write_catalog(d)
+    prepare_photometry(d)
+    ctx = SectorContext(d, 1, 3, 2)
+    res = extract_aperture_batch(ctx, [int(s) for s in sim.starid])
+    ratios = []
+    for r in res:
+        if r.status not in (STATUS.OK, STATUS.WARNING):
+            continue
+        if (r.details.get("contamination") or 0) > 0.05:
+            continue
+        s = np.nanstd(r.lightcurve["flux"], ddof=1)
+        e = np.nanmedian(r.lightcurve["flux_err"])
+        if e > 0:
+            ratios.append(s / e)
+    assert len(ratios) >= 12
+    med = float(np.median(ratios))
+    # 1.0 = photon-only; background-fit residuals push it up slightly.
+    assert 0.8 < med < 2.0, med
