@@ -210,9 +210,12 @@ def bench_psf(n_targets=1024, T=128, h=13, w=13, S=4):
         return np.asarray(out["flux"][:1, 0])
 
     run()                                # warmup/compile + completion fetch
-    tic = time.perf_counter()
-    run()
-    return n_targets / (time.perf_counter() - tic)
+    rates = []
+    for _ in range(3):                   # median-of-3: tunnel RTT noise ~±25%
+        tic = time.perf_counter()
+        run()
+        rates.append(n_targets / (time.perf_counter() - tic))
+    return float(np.median(rates))
 
 
 def bench_backgrounds(n_frames=16, tile=64):
@@ -229,11 +232,13 @@ def bench_backgrounds(n_frames=16, tile=64):
     # warmup/compile:
     bkg, _ = estimate_background(imgs, radius_image=radius, tile=tile)
     np.asarray(bkg[0, 0, 0])
-    tic = time.perf_counter()
-    bkg, _ = estimate_background(imgs, radius_image=radius, tile=tile)
-    np.asarray(bkg[0, 0, 0])
-    dt = time.perf_counter() - tic
-    return n_frames / dt
+    rates = []
+    for _ in range(3):                   # median-of-3: tunnel RTT noise ~±25%
+        tic = time.perf_counter()
+        bkg, _ = estimate_background(imgs, radius_image=radius, tile=tile)
+        np.asarray(bkg[0, 0, 0])
+        rates.append(n_frames / (time.perf_counter() - tic))
+    return float(np.median(rates))
 
 
 def bench_reference_numpy(sumimage, rows, cols, n_targets=2, h=STAMP, w=STAMP):
