@@ -73,3 +73,28 @@ def test_streamed_long_T_matches_device(fast_tpf_dir):
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, equal_nan=True)
+
+
+@pytest.mark.slow
+def test_fast_tpf_reference_max_cadences(tmp_path):
+    """The reference's 20-s TPFs top out at ~13,000 cadences
+    (SURVEY §5); one full-length fast TPF must extract in a single
+    program with finite metrics."""
+    from photometry_tpu.sim.simulator import SimConfig, simulate_sector
+    from photometry_tpu.core.engine import TpfContext, extract_aperture_batch
+    d = str(tmp_path)
+    sim = simulate_sector(SimConfig(shape=(96, 96), n_times=8, n_stars=8,
+                                    seed=42, tmag_range=(8.0, 11.0)))
+    sim.write_catalog(d)
+    sim.write_tpf(d, int(sim.starid[0]), cadence=20, n_times=13000)
+    ctx = TpfContext(d, int(sim.starid[0]))
+    assert ctx.n_times == 13000
+    res = extract_aperture_batch(ctx, [int(sim.starid[0])])[0]
+    assert res.status in (STATUS.OK, STATUS.WARNING)
+    flux = res.lightcurve["flux"]
+    assert flux.shape == (13000,)
+    assert np.isfinite(flux).sum() > 12000
+    truth = float(np.asarray(10 ** (-0.4 * (sim.tmag[0] - 20.451))))
+    assert 0.8 < np.nanmedian(flux) / truth < 1.2
+    assert np.isfinite(res.details["rms_hour"])
+    ctx.close()
