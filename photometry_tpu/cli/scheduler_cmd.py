@@ -63,7 +63,7 @@ def main(argv=None) -> int:
         platform=getattr(args, "jax_platform", None), listen=listen,
         **constraints)
     print(json.dumps(summary))
-    return 0
+    return 0 if summary.get("drained", True) else 1
 
 
 if __name__ == "__main__":

@@ -92,6 +92,10 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
             with open(marker, "w"):
                 pass
             os._exit(17)
+        if os.environ.get("PHOTOMETRY_TPU_TEST_CRASH_ALWAYS"):
+            # Unrecoverable-fleet hook: every worker dies on every lease,
+            # exercising the master's respawn-exhausted failure exit.
+            os._exit(17)
         worker_wait_time = default_timer() - tic_wait
         tic = default_timer()
         results = []
@@ -270,4 +274,13 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                 w["proc"].terminate()
         tm.backup()
         tm.write_summary()
-        return dict(tm.summary)
+        summary = dict(tm.summary)
+        # Distinguish a drained queue from "every worker died before the
+        # work was done" (reference master would hang; ours exits — but the
+        # exit must not look like success, run_tessphot_mpi.py:146-149
+        # aborts the job on master failure for the same reason):
+        summary["drained"] = not tm.get_task_batch(batch_size=1, **constraints)
+        if not summary["drained"]:
+            logger.error("Scheduler exiting with unprocessed tasks remaining "
+                         "(all workers lost, respawns exhausted).")
+        return summary

@@ -211,3 +211,27 @@ def test_worker_crash_respawn(prepared_dir, tmp_path, monkeypatch):
         assert pending == 0, "crashed worker's lease was not reclaimed"
     assert summary["OK"] + summary["WARNING"] + summary["SKIPPED"] >= \
         0.9 * summary["numtasks"]
+
+
+@pytest.mark.mpi
+def test_all_workers_dead_is_a_failure(prepared_dir, monkeypatch):
+    """When every worker dies and respawns are exhausted, the master must
+    exit reporting drained=False (the CLI maps it to a nonzero exit code)
+    instead of masquerading as success — the reference aborts the MPI job
+    on master failure for the same reason (run_tessphot_mpi.py:146-149)."""
+    sim, d = prepared_dir
+    with sqlite3.connect(os.path.join(d, "todo.sqlite")) as conn:
+        conn.execute("UPDATE todolist SET status=NULL;")
+        conn.execute("DROP TABLE IF EXISTS diagnostics;")
+        conn.execute("DROP TABLE IF EXISTS photometry_skipped;")
+        conn.commit()
+    monkeypatch.setenv("PHOTOMETRY_TPU_TEST_CRASH_ALWAYS", "1")
+    from photometry_tpu.parallel.scheduler import run_distributed
+    summary = run_distributed(d, n_workers=2, version=7, batch_size=5,
+                              platform="cpu", max_respawns=1)
+    assert summary["drained"] is False
+    assert summary["tasks_run"] == 0
+    with sqlite3.connect(os.path.join(d, "todo.sqlite")) as conn:
+        pending = conn.execute(
+            "SELECT COUNT(*) FROM todolist WHERE status IS NULL;").fetchone()[0]
+    assert pending > 0
