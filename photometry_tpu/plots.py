@@ -143,6 +143,37 @@ def plot_outline(mask, ax=None, color="r", lw=2, **kwargs):
     return pts
 
 
+def plots_interactive(backend=("QtAgg", "Qt5Agg", "MacOSX", "Qt4Agg",
+                               "Qt5Cairo", "TkAgg", "GTK4Agg")):
+    """Switch to the first working interactive backend (reference
+    plots.py:33-62); silently stays on the current backend when none of
+    the candidates is importable (headless clusters)."""
+    logger = logging.getLogger(__name__)
+    if isinstance(backend, str):
+        backend = [backend]
+    for bckend in backend:
+        if bckend not in matplotlib.rcsetup.interactive_bk:
+            continue
+        try:
+            plt.switch_backend(bckend)
+        except (ModuleNotFoundError, ImportError):
+            continue
+        logger.debug("Interactive backend selected: %s", bckend)
+        break
+
+
+def plots_noninteractive():
+    """Switch to the non-interactive Agg backend (reference plots.py:64-73)."""
+    plt.switch_backend("Agg")
+
+
+def set_copyright(fig, xpos=0.01, ypos=0.99, fontsize=12):
+    """Footer credit on movie/diagnostic figures (run_ffimovie.py:59-64)."""
+    plt.text(ypos, xpos, "Created by photometry-tpu",
+             verticalalignment="bottom", horizontalalignment="right",
+             transform=fig.transFigure, color="0.3", fontsize=fontsize)
+
+
 def save_figure(path, fig=None, fmt="png", dpi=100):
     """Save a figure, creating directories as needed (plots.py:400-424)."""
     if fig is None:
