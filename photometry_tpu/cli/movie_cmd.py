@@ -18,6 +18,9 @@ def main(argv=None) -> int:
     parser.add_argument("--fps", type=int, default=10)
     parser.add_argument("--frames", type=int, default=None, help="Limit frame count.")
     parser.add_argument("--format", dest="fmt", default="gif", choices=("gif", "png"))
+    parser.add_argument("--combined", action="store_true",
+                        help="Render the 16-CCD focal-plane mosaic movie "
+                             "instead of per-CCD movies.")
     parser.add_argument("--sector", type=int, default=None, action="append")
     parser.add_argument("--camera", type=int, default=None, action="append")
     parser.add_argument("--ccd", type=int, default=None, action="append")
@@ -27,7 +30,21 @@ def main(argv=None) -> int:
     input_folder = resolve_input_folder(args.input_folder)
 
     from ..io import discovery
-    from ..movie import make_movie
+    from ..movie import make_movie, make_combined_movie
+    if args.combined:
+        from ..io.cube import ImageCube
+        sectors = args.sector
+        if not sectors:
+            sectors = sorted({ImageCube(f).header.get("SECTOR", 1)
+                              for f in discovery.find_cube_files(input_folder)})
+        if not sectors:
+            print("No cube files found.", file=sys.stderr)
+            return 1
+        for sector in sectors:
+            print(make_combined_movie(input_folder, int(sector),
+                                      dataset=args.dataset, fps=args.fps,
+                                      max_frames=args.frames, fmt=args.fmt))
+        return 0
     cubes = discovery.find_cube_files(
         input_folder,
         sector=args.sector[0] if args.sector else None,

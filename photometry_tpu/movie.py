@@ -18,11 +18,11 @@ from typing import Optional
 import numpy as np
 
 from .io.cube import ImageCube
-from .plots import plot_image, plt
+from .plots import plot_image, plt, set_copyright
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["make_movie", "mosaic_frame"]
+__all__ = ["make_movie", "make_combined_movie", "mosaic_frame"]
 
 
 def _color_scale(cube: ImageCube, dataset: str = "images") -> tuple:
@@ -129,3 +129,65 @@ def mosaic_frame(input_folder: str, sector: int, k: int = 0,
             col = (ccd - 1)
             mosaic[row * H:(row + 1) * H, col * W:(col + 1) * W] = blocks[(camera, ccd)]
     return mosaic
+
+
+def make_combined_movie(input_folder: str, sector: int,
+                        output: Optional[str] = None,
+                        dataset: str = "images", fps: int = 10,
+                        max_frames: Optional[int] = None, fmt: str = "gif",
+                        dpi: int = 80) -> str:
+    """Movie of the full 16-CCD focal-plane mosaic for one sector.
+
+    Counterpart of reference ``run_ffimovie.make_combined_movie``
+    (run_ffimovie.py:214-378): every available camera/CCD cube of the
+    sector renders into one rotated mosaic per cadence.  Missing CCDs show
+    as blank blocks; the colour scale is shared across the whole mosaic
+    (1-99 percentiles of a frame sample).
+    """
+    from PIL import Image as PILImage
+    from .io import discovery
+
+    files = discovery.find_cube_files(input_folder, sector=sector)
+    if not files:
+        raise FileNotFoundError(f"No cubes for sector {sector} in {input_folder}")
+    with ImageCube(files[0]) as cube:
+        T = cube.n_times
+    if max_frames is not None:
+        T = min(T, max_frames)
+
+    # Shared colour scale from a sample of mosaics:
+    idx = np.unique(np.linspace(0, T - 1, min(4, T)).astype(int))
+    samples = np.concatenate([mosaic_frame(input_folder, sector, int(k),
+                                           dataset).ravel() for k in idx])
+    samples = samples[np.isfinite(samples)]
+    vmin, vmax = (np.percentile(samples, [1.0, 99.0]) if samples.size
+                  else (0.0, 1.0))
+
+    outdir = None
+    if fmt == "png":
+        outdir = output or os.path.join(
+            input_folder, f"sector{sector:03d}_combined_{dataset}_frames")
+        os.makedirs(outdir, exist_ok=True)
+    frames = []
+    for k in range(T):
+        mosaic = mosaic_frame(input_folder, sector, k, dataset)
+        fig = plt.figure(figsize=(8, 8))
+        ax = fig.add_subplot(111)
+        plot_image(mosaic, ax=ax, scale="sqrt", vmin=float(vmin),
+                   vmax=float(vmax),
+                   title=f"S{sector:02d} combined {dataset} #{k}")
+        set_copyright(fig)
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        plt.close(fig)
+        if fmt == "png":
+            PILImage.fromarray(buf).save(os.path.join(outdir, f"{k:05d}.png"))
+        else:
+            frames.append(PILImage.fromarray(buf))
+    if fmt == "png":
+        return outdir
+    out = output or os.path.join(
+        input_folder, f"sector{sector:03d}_combined_{dataset}.gif")
+    frames[0].save(out, save_all=True, append_images=frames[1:],
+                   duration=max(1, int(1000 / fps)), loop=0)
+    return out

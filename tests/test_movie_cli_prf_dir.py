@@ -68,3 +68,21 @@ def test_iter_frames_order_and_content(prepared):
     # workers=1 falls back to the sequential path:
     seq = list(iter_frames(files, workers=1))
     assert len(seq) == len(files)
+
+
+def test_combined_movie_cli(prepared):
+    """--combined renders the 16-CCD focal-plane mosaic movie
+    (run_ffimovie.py:214-378 counterpart); missing CCDs show as blank
+    blocks."""
+    sim, d = prepared
+    import glob
+    from photometry_tpu.cli import movie_cmd
+    from photometry_tpu.movie import mosaic_frame
+    assert movie_cmd.main(["-q", "--combined", "--frames", "2", d]) == 0
+    gifs = glob.glob(os.path.join(d, "*combined_images.gif"))
+    assert gifs and os.path.getsize(gifs[0]) > 1000
+    m = mosaic_frame(d, 1, 0)
+    # one 64x64 CCD present -> 4x4 grid of 64-px blocks, others NaN:
+    assert m.shape == (256, 256)
+    assert np.isfinite(m[128:192, 64:128]).all()   # camera 3, ccd 2 block
+    assert np.isnan(m[:64, :64]).all()
