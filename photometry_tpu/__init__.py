@@ -50,6 +50,15 @@ def __getattr__(name):
         "TESSQualityFlags": ("photometry_tpu.quality", "TESSQualityFlags"),
         "PixelQualityFlags": ("photometry_tpu.quality", "PixelQualityFlags"),
         "CorrectorQualityFlags": ("photometry_tpu.quality", "CorrectorQualityFlags"),
+        # Method extractors (reference's AperturePhotometry/PSFPhotometry/
+        # LinPSFPhotometry/HaloPhotometry class analogues):
+        "extract_psf_batch": ("photometry_tpu.models.psf_fit", "extract_psf_batch"),
+        "extract_linpsf_batch": ("photometry_tpu.models.linpsf", "extract_linpsf_batch"),
+        "extract_halo_batch": ("photometry_tpu.models.halo", "extract_halo_batch"),
+        "MotionModel": ("photometry_tpu.core.motion", "MotionModel"),
+        # NOTE: download_cache stays a submodule (photometry_tpu
+        # .download_cache.download_cache) — exporting the function here
+        # would be shadowed again whenever the submodule is imported.
     }
     if name in lazy:
         import importlib
@@ -63,4 +72,5 @@ __all__ = ["__version__", "STATUS", "SectorContext", "TpfContext",
            "extract_aperture_batch", "photometry_single", "photometry_batch",
            "TaskManager", "prepare_photometry", "make_todo", "make_catalog",
            "StarCatalog", "PRF", "TESSQualityFlags", "PixelQualityFlags",
-           "CorrectorQualityFlags"]
+           "CorrectorQualityFlags", "extract_psf_batch", "extract_linpsf_batch",
+           "extract_halo_batch", "MotionModel"]
