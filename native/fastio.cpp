@@ -121,8 +121,10 @@ void pt_moving_median_f32(const float* in, int64_t T, int64_t P, int window,
   });
 }
 
-// Inflate a gzip stream. Returns the decompressed size, or -1 on error /
-// insufficient capacity.
+// Inflate a gzip stream, decoding ALL members of a multi-member file
+// (pigz/bgzip and appended streams produce these; gzip.open decodes them
+// fully, so we must too). Returns the total decompressed size, or -1 on
+// error / insufficient capacity / trailing garbage.
 int64_t pt_gunzip(const uint8_t* in, int64_t in_n, uint8_t* out,
                   int64_t out_cap) {
   z_stream zs;
@@ -132,10 +134,21 @@ int64_t pt_gunzip(const uint8_t* in, int64_t in_n, uint8_t* out,
   zs.avail_in = static_cast<uInt>(in_n);
   zs.next_out = out;
   zs.avail_out = static_cast<uInt>(out_cap);
-  int ret = inflate(&zs, Z_FINISH);
-  int64_t produced = static_cast<int64_t>(zs.total_out);
+  int64_t produced = -1;
+  int64_t total = 0;
+  for (;;) {
+    int ret = inflate(&zs, Z_FINISH);
+    total += static_cast<int64_t>(zs.total_out);
+    if (ret != Z_STREAM_END) break;  // error or out of capacity
+    if (zs.avail_in == 0) {          // consumed the whole input: success
+      produced = total;
+      break;
+    }
+    // Another gzip member follows; reset (which zeroes total_out) and keep
+    // inflating into the remaining output window.
+    if (inflateReset(&zs) != Z_OK) break;
+  }
   inflateEnd(&zs);
-  if (ret != Z_STREAM_END) return -1;
   return produced;
 }
 

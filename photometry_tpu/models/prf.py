@@ -213,8 +213,12 @@ class PRF:
         cache = getattr(self, "_axis_mm_cache", None)
         if cache is None:
             cache = self._axis_mm_cache = {}
+        # Key on id(F) but ALSO keep F alive in the entry and verify it is
+        # the same object: a freed array's id can be reused, which would
+        # silently serve a stale padded table for a different PRF.
         key = (id(F), n)
-        if key not in cache:
+        hit = cache.get(key)
+        if hit is None or hit[0] is not F:
             os_ = int(round(self.oversample))
             Fh = np.asarray(F, np.float32)
             L0, K = Fh.shape
@@ -225,8 +229,8 @@ class PRF:
             Fz[-b_lo:-b_lo + L0] = Fh
             offs = (np.arange(n, dtype=np.int32)[:, None] * os_
                     + np.arange(4, dtype=np.int32)[None, :]).reshape(-1)
-            cache[key] = (b_lo, b_hi, Lz, offs, Fz)
-        return cache[key]
+            hit = cache[key] = (F, (b_lo, b_hi, Lz, offs, Fz))
+        return hit[1]
 
     def _axis_values(self, F, center: float, coord, n: int,
                      with_grad: bool = False):

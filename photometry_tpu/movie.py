@@ -154,6 +154,9 @@ def make_combined_movie(input_folder: str, sector: int,
         T = cube.n_times
     if max_frames is not None:
         T = min(T, max_frames)
+    if T <= 0:
+        raise ValueError(
+            f"Cube for sector {sector} has no cadences (T={T}); nothing to render")
 
     # Shared colour scale from a sample of mosaics:
     idx = np.unique(np.linspace(0, T - 1, min(4, T)).astype(int))
@@ -171,7 +174,7 @@ def make_combined_movie(input_folder: str, sector: int,
     frames = []
     for k in range(T):
         mosaic = mosaic_frame(input_folder, sector, k, dataset)
-        fig = plt.figure(figsize=(8, 8))
+        fig = plt.figure(figsize=(8, 8), dpi=dpi)
         ax = fig.add_subplot(111)
         plot_image(mosaic, ax=ax, scale="sqrt", vmin=float(vmin),
                    vmax=float(vmax),

@@ -27,20 +27,45 @@ from ..utils.mathutils import MAD_TO_SIGMA
 __all__ = ["sigma_clip_mask", "sextractor_mode", "kde_mode", "segment_kde_mode"]
 
 
-def masked_median(x, good, iters: int = 40, min_bisect: int = 256):
+def _f32_to_ordkey(xf):
+    """Map float32 -> int32 such that signed int order == float order.
+
+    Standard radix-sort trick: flip all bits of negatives, flip only the
+    sign bit of non-negatives; then re-bias into signed int32.  Exact and
+    total over all finite floats (and ±inf); NaNs are out of contract
+    (callers mask them via ``good``).
+    """
+    u = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+    key_u = jnp.where((u >> 31) == 1, ~u, u | jnp.uint32(0x80000000))
+    return jax.lax.bitcast_convert_type(key_u ^ jnp.uint32(0x80000000),
+                                        jnp.int32)
+
+
+def _ordkey_to_f32(key):
+    """Inverse of :func:`_f32_to_ordkey`."""
+    key_u = jax.lax.bitcast_convert_type(key, jnp.uint32) ^ jnp.uint32(0x80000000)
+    u = jnp.where((key_u >> 31) == 1, key_u ^ jnp.uint32(0x80000000), ~key_u)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def masked_median(x, good, iters: int = 33, min_bisect: int = 256):
     """Exact median of ``x`` over the last axis where ``good`` is True.
 
     Same semantics as ``np.nanmedian(where(good, x, nan), axis=-1)`` —
     the mean of the two middle order statistics for even counts, NaN for
-    empty selections — but computed by VALUE BISECTION instead of a sort:
-    per iteration one vectorised ``count(x <= mid)`` pass, then the exact
-    order statistics are recovered from the converged bounds.  XLA's TPU
-    sort materialises every bitonic stage, which makes ``nanmedian`` over
-    deep axes (the 4096-sample background tiles) the dominant cost of the
-    sigma-clipped tile statistics; the counting formulation runs at VPU
-    streaming bandwidth in O(1) extra memory (same technique as
-    ops.filters._median_block).  Axes shorter than ``min_bisect`` fall
-    back to ``nanmedian`` (the sort is cheaper than 40 count passes).
+    empty selections — but computed by BISECTION IN int32 BIT-PATTERN
+    SPACE instead of a sort: float32 values map monotonically onto int32
+    keys (sign-flip trick), so 33 integer-halving iterations isolate any
+    order statistic EXACTLY regardless of the value range (a single 1e20
+    outlier among ~100-valued data cannot stall the bounds, unlike value
+    bisection).  Each iteration is one vectorised ``count(key <= mid)``
+    pass; XLA's TPU sort materialises every bitonic stage, which makes
+    ``nanmedian`` over deep axes (the 4096-sample background tiles) the
+    dominant cost of the sigma-clipped tile statistics, while the counting
+    formulation runs at VPU streaming bandwidth in O(1) extra memory (same
+    technique as ops.filters._median_block).  Axes shorter than
+    ``min_bisect`` fall back to ``nanmedian`` (the sort is cheaper than 33
+    count passes).
     """
     x = jnp.asarray(x)
     if x.shape[-1] < min_bisect:
@@ -48,32 +73,34 @@ def masked_median(x, good, iters: int = 40, min_bisect: int = 256):
     n = jnp.sum(good, axis=-1)
     k1 = (n + 1) // 2          # 1-based rank of the lower middle
     k2 = n // 2 + 1            # upper middle (== k1 for odd n)
-    xi = jnp.where(good, x, jnp.inf)
-    xni = jnp.where(good, x, -jnp.inf)
-    vmin = jnp.min(xi, axis=-1)
-    vmax = jnp.max(xni, axis=-1)
-    # open lower bound strictly below the minimum (count(<= lo) = 0 < k1):
-    lo = vmin - jnp.maximum(jnp.abs(vmin) * 1e-6, 1e-6)
-    hi = vmax
+    key = _f32_to_ordkey(x.astype(jnp.float32))
+    kmax_all = jnp.int32(2**31 - 1)
+    kmin = jnp.min(jnp.where(good, key, kmax_all), axis=-1)
+    kmax = jnp.max(jnp.where(good, key, jnp.int32(-(2**31))), axis=-1)
+    # Invariant: count(key <= lo) < k1 <= count(key <= hi).  The -inf key is
+    # > INT32_MIN, so kmin - 1 cannot underflow for finite/inf data.
+    lo = kmin - 1
+    hi = kmax
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((x <= mid[..., None]) & good, axis=-1)
+        # overflow-safe floor average of two int32s:
+        mid = (lo & hi) + ((lo ^ hi) >> 1)
+        cnt = jnp.sum((key <= mid[..., None]) & good, axis=-1)
         ge = cnt >= k1
         return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
-    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    # (lo, hi] has collapsed onto the k1-th order statistic: the smallest
-    # valid element above lo is exactly it.
-    v1 = jnp.min(jnp.where(good & (x > lo[..., None]), x, jnp.inf), axis=-1)
-    v1 = jnp.where(jnp.isfinite(v1), v1, vmax)
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    # hi has collapsed onto the key of the k1-th order statistic (the
+    # interval (lo, hi] contains >= 1 element and hi is the smallest key
+    # with count(<= hi) >= k1).
+    v1 = _ordkey_to_f32(hi)
     # Upper middle: v1 again if its multiplicity reaches rank k2, else the
     # next distinct valid value.
-    cnt1 = jnp.sum((x <= v1[..., None]) & good, axis=-1)
-    vnext = jnp.min(jnp.where(good & (x > v1[..., None]), x, jnp.inf), axis=-1)
-    v2 = jnp.where(cnt1 >= k2, v1, vnext)
-    v2 = jnp.where(jnp.isfinite(v2), v2, v1)
+    cnt1 = jnp.sum((key <= hi[..., None]) & good, axis=-1)
+    knext = jnp.min(jnp.where(good & (key > hi[..., None]), key, kmax_all),
+                    axis=-1)
+    v2 = jnp.where(cnt1 >= k2, v1, _ordkey_to_f32(knext))
     return jnp.where(n > 0, 0.5 * (v1 + v2), jnp.nan)
 
 
@@ -257,8 +284,24 @@ def segment_kde_mode(values, seg_ids, n_segments: int, mask=None,
     b = jnp.clip(((values - lo) / span * n_buckets).astype(jnp.int32), 0, n_buckets - 1)
     if method == "auto":
         # Scatter only wins on CPU; any accelerator (the axon TPU backend
-        # reports its own platform name) takes the MXU histogram.
-        method = "scatter" if jax.default_backend() == "cpu" else "matmul"
+        # reports its own platform name) takes the MXU histogram.  Resolve
+        # from the device the data actually lives on when it is concrete;
+        # under tracing (no devices on tracers) fall back to the session
+        # default.  Both methods build the identical histogram, so a wrong
+        # guess is only a perf hazard — callers on known backends should
+        # pass method explicitly.
+        platform = None
+        for arr in (values, seg_ids):
+            devs = getattr(arr, "devices", None)
+            if callable(devs):
+                try:
+                    platform = next(iter(arr.devices())).platform
+                    break
+                except Exception:
+                    pass
+        if platform is None:
+            platform = jax.default_backend()
+        method = "scatter" if platform == "cpu" else "matmul"
     if method == "matmul":
         hist = _segment_histogram_matmul(seg_ids, b, good,
                                          n_segments, n_buckets)

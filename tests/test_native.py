@@ -48,3 +48,26 @@ def test_gunzip():
     # tiny capacity start still succeeds via retry:
     out = native_ops.gunzip(gz, expected_size=1)
     assert out == payload
+
+
+def test_gunzip_multimember():
+    # pigz/bgzip and appended streams produce multi-member gzip files;
+    # gzip.decompress decodes all members, and so must the native path.
+    a = b"A" * 1000
+    b = b"B" * 2000
+    c = b"C" * 300
+    gz = gzip.compress(a) + gzip.compress(b) + gzip.compress(c)
+    out = native_ops.gunzip(gz, expected_size=len(a) + len(b) + len(c))
+    assert out == a + b + c
+    # and via a tiny starting capacity (retry loop):
+    out = native_ops.gunzip(gz, expected_size=1)
+    assert out == a + b + c
+
+
+def test_gunzip_trailing_garbage_falls_back():
+    payload = b"hello world" * 100
+    gz = gzip.compress(payload) + b"\x00garbage-not-gzip"
+    # gzip.decompress raises on trailing garbage; the native path returns -1
+    # and the wrapper falls back — either way we must not silently truncate.
+    with pytest.raises(Exception):
+        native_ops.gunzip(gz)

@@ -216,3 +216,26 @@ def test_masked_median_bisect_exact_vs_numpy():
         want = np.nanmedian(np.where(good, x, np.nan), axis=-1)
     got = np.asarray(st.masked_median(jnp.asarray(x), jnp.asarray(good)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_masked_median_extreme_range_exact():
+    """Bit-pattern bisection stays exact under extreme dynamic range: a 1e20
+    (or ±inf, or denormal) outlier must not stall the bounds the way value
+    bisection did (measured 80.8 vs true 99.8 pre-fix)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(100.0, 1.0, 501).astype(np.float32)
+    for outlier in (1e20, -1e20, np.inf, -np.inf, 1e-38, 1e38):
+        x = base.copy()
+        x[0] = outlier
+        good = np.ones_like(x, bool)
+        want = np.median(x.astype(np.float64)).astype(np.float32)
+        got = np.asarray(st.masked_median(jnp.asarray(x), jnp.asarray(good),
+                                          min_bisect=0))
+        np.testing.assert_array_equal(got, np.float32(want))
+    # mixed huge spread, even count (both middles straddle the range):
+    x = np.array([-1e30, -5.0, -4.0, 3.0, 7.0, 1e25] * 100, np.float32)
+    good = np.ones_like(x, bool)
+    got = np.asarray(st.masked_median(jnp.asarray(x), jnp.asarray(good),
+                                      min_bisect=0))
+    want = np.float32(np.median(x.astype(np.float64)))
+    np.testing.assert_array_equal(got, want)
