@@ -22,18 +22,37 @@ import jax  # noqa: E402
 
 if os.environ.get("PHOTOMETRY_TPU_TEST_ON_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
-    # Persistent compile cache for the CPU test backend, in its OWN
-    # directory: repeated pytest runs recompile the same programs and
-    # dominate the ~20 min suite wall-clock on this 1-core host.  The
-    # TPU-backend cache stays separate (CLAUDE.md: remote-compiler TPU
-    # artifacts must never be reused for CPU — this cache is populated
-    # exclusively by the local CPU compiler).
-    _cache = os.path.join(os.path.expanduser("~"), ".photometry_tpu",
-                          "jax_cache_cpu_tests")
+    # NO persistent compile cache for CPU tests.  A separate CPU-only cache
+    # dir was tried (round 3): entries still ended up compiled with machine
+    # features this host lacks (+prefer-no-scatter AVX512 AOT from the
+    # remote-compiler jax build pre-imported by sitecustomize), and loading
+    # them segfaulted the suite mid-run.  CPU AOT caching on this host is
+    # unsafe, period (CLAUDE.md).
+
+
+import pytest  # noqa: E402
+
+# Every XLA:CPU executable loaded onto the 8 virtual devices pins ~108
+# memory mappings (JIT code pages x 8 device loads) for as long as jax's
+# jit caches hold it.  The suite compiles several hundred unique shapes
+# (the parity corpora alone are ~100), which blows through the kernel's
+# vm.max_map_count (65530 here) and SIGSEGVs inside LLVM on a failed mmap
+# mid-suite — measured: 440 baseline maps, +~108/compile, and
+# jax.clear_caches() returns to baseline.  Clear the caches whenever the
+# map count approaches the limit; recompiles are cheaper than a dead suite.
+_MAPS_SOFT_LIMIT = 30_000
+
+
+def _n_memory_maps() -> int:
     try:
-        os.makedirs(_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass
+        with open("/proc/self/maps") as fh:
+            return sum(1 for _ in fh)
+    except OSError:  # non-Linux: no map accounting, rely on the OS
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_code_maps():
+    yield
+    if _n_memory_maps() > _MAPS_SOFT_LIMIT:
+        jax.clear_caches()
