@@ -36,9 +36,16 @@ from ..io import discovery
 from ..io.cube import ImageCube
 from ..io.settings import load_settings
 from ..models.k2p2 import K2P2Params, build_masks_batch
+
+#: Production K2P2 parameters (reference photometry/AperturePhotometry
+#: defaults); shared by the batch extractor and the diagnostic replotter.
+DEFAULT_K2P2_PARAMS = K2P2Params(thresh=0.8, min_no_pixels_in_mask=4,
+                                 min_for_cluster=4, ws_blur=0.5, ws_thres=0.0,
+                                 ws_footprint=3, segmentation=True,
+                                 extend_overflow=True)
 from ..quality import PixelQualityFlags, TESSQualityFlags
 from ..utils.mathutils import mag2flux
-from .metrics import compute_metrics_batch
+from .metrics import compute_metrics_batch, crowding_metrics_batch
 from .motion import MotionModel
 from .status import STATUS
 
@@ -530,10 +537,7 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
     halos_tmag = settings.getfloat("haloswitch", "tmag_limit", fallback=6.0)
     halos_flux = settings.getfloat("haloswitch", "flux_limit", fallback=0.01)
     if k2p2_params is None:
-        k2p2_params = K2P2Params(thresh=0.8, min_no_pixels_in_mask=4,
-                                 min_for_cluster=4, ws_blur=0.5, ws_thres=0.0,
-                                 ws_footprint=3, segmentation=True,
-                                 extend_overflow=True)
+        k2p2_params = DEFAULT_K2P2_PARAMS
 
     starids = [int(s) for s in starids]
     N = len(starids)
@@ -777,6 +781,35 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             jnp.asarray(ctx.quality), jnp.asarray(cent))
         metrics = {k: np.asarray(v) for k, v in metrics.items()}
 
+        # PSF-flux completeness/crowding of the final masks (SPOC
+        # FLFRCSAP/CROWDSAP; see core.metrics.crowding_metrics_batch):
+        K = len(ok_targets[0]["cat"]["row"])
+        cm_row = np.full((len(ok_targets), K), 1e9, np.float32)
+        cm_col = np.full((len(ok_targets), K), 1e9, np.float32)
+        cm_flux = np.zeros((len(ok_targets), K), np.float32)
+        cm_valid = np.zeros((len(ok_targets), K), bool)
+        cm_istgt = np.zeros((len(ok_targets), K), bool)
+        cm_trow = np.zeros(len(ok_targets), np.float32)
+        cm_tcol = np.zeros(len(ok_targets), np.float32)
+        for i, t in enumerate(ok_targets):
+            c = t["cat"]
+            s = t["clipped"]
+            cm_row[i] = c["row"] + (s[0] - r0s[i])
+            cm_col[i] = c["col"] + (s[2] - c0s[i])
+            cm_flux[i] = np.asarray(mag2flux(c["tmag"]), np.float32)
+            cm_valid[i] = c["valid"]
+            cm_istgt[i] = c["valid"] & (c["starid"] == t["starid"])
+            cm_trow[i] = t["row"] - r0s[i]
+            cm_tcol[i] = t["col"] - c0s[i]
+        psf_sigma = float(getattr(ctx, "header", {}).get("PSFSIGMA", 1.25)
+                          or 1.25)
+        crowding = crowding_metrics_batch(
+            jnp.asarray(masks_f), jnp.asarray(cm_row), jnp.asarray(cm_col),
+            jnp.asarray(cm_flux), jnp.asarray(cm_valid),
+            jnp.asarray(cm_istgt), jnp.asarray(cm_trow),
+            jnp.asarray(cm_tcol), jnp.float32(psf_sigma))
+        crowding = {k: np.asarray(v) for k, v in crowding.items()}
+
     for i, t in enumerate(ok_targets):
         tgt = t["target"]
         m = t["mask_bucket"]
@@ -821,6 +854,23 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         if np.isfinite(contamination):
             add_headers["AP_CONT"] = (round(float(contamination), 8), "AP contamination")
             details["contamination"] = float(contamination)
+
+        # PSF-model completeness + crowding (beyond-reference: the
+        # position-based contamination above is blind to flux truncation
+        # by tight watershed splits and to wing bleed; these are not):
+        completeness = float(crowding["completeness"][i])
+        crowdsap = float(crowding["crowdsap"][i])
+        details["completeness"] = completeness
+        details["crowdsap"] = crowdsap
+        add_headers["FLFRCSAP"] = (round(completeness, 6),
+                                   "Frac. of target PSF flux in aperture")
+        add_headers["CROWDSAP"] = (round(crowdsap, 6),
+                                   "Target flux / total flux in aperture")
+        if t["found"] and completeness < 0.5:
+            status = STATUS.WARNING if status == STATUS.OK else status
+            details.setdefault("errors", []).append(
+                f"Mask captures only {100 * completeness:.0f}% of the "
+                "target's PSF flux (deblending truncation).")
 
         if not t["found"]:
             status = STATUS.WARNING if status == STATUS.OK else status

@@ -142,7 +142,12 @@ def _local_maxima(img, footprint: int, threshold_rel: float):
             if dy == half and dx == half:
                 continue
             best = jnp.maximum(best, jax.lax.dynamic_slice(p, (dy, dx), (H, W)))
-    is_max = img >= best
+    # Relative tolerance: the reference computes the blurred surface in
+    # float64; in float32 a marginal saddle between two close stars can
+    # round its twin peaks into one, silently merging their watershed
+    # markers.  Accepting near-ties (1e-5 relative ~ 100x f32 accumulation
+    # error) keeps both peaks; genuine slopes differ by far more.
+    is_max = img >= best - 1e-5 * jnp.abs(best)
     if threshold_rel > 0:
         is_max = is_max & (img > threshold_rel * jnp.max(img))
     return is_max
@@ -181,15 +186,28 @@ def _catalog_markers(blurred, above_cut, cat_col, cat_row, cat_tmag, cat_valid,
 
 
 def _saturated_pixel_map(sumimage, above):
-    """Columns whose above-cut pixels form a bleed trail (k2p2_saturated
-    criterion: |median row-to-row difference| < 1% of the column peak),
-    as a pixel map restricted to the above-cut region."""
+    """Columns whose above-cut pixels form a bleed trail, as a pixel map
+    restricted to the above-cut region.
+
+    Reference k2p2_saturated (k2p2v2.py:747-800) requires BOTH
+    |median row-to-row difference| < 1% of the peak AND
+    median(column) >= mask_max/2: a flat-topped bleed column satisfies both,
+    while an ordinary stellar profile — whose row-to-row differences are
+    antisymmetric about the peak, so their MEDIAN is also ~0 — fails the
+    median-level test.  Omitting the second condition falsely flagged every
+    symmetric star column as saturated and collapsed its watershed markers
+    (round-3 corpus finding).  The reference compares against the max over
+    the whole mask; pre-watershed the mask is unknown, so we use the
+    column's own above-cut max — a slightly weaker gate (colmax <= mask
+    max), but true bleed columns carry the mask peak anyway.
+    """
     vals = jnp.where(above, sumimage, jnp.nan)
     diffs = vals[1:, :] - vals[:-1, :]
     colmax = jnp.nanmax(vals, axis=0)
+    colmed = jnp.nanmedian(vals, axis=0)
     ratio = jnp.abs(jnp.nanmedian(diffs, axis=0)) / colmax
     n_col = jnp.sum(above, axis=0)
-    sat_col = (n_col >= 3) & (ratio < 0.01)
+    sat_col = (n_col >= 3) & (ratio < 0.01) & (colmed >= colmax / 2)
     return above & sat_col[None, :]
 
 
@@ -277,7 +295,7 @@ def _fill_holes_4(mask):
 
 def build_mask(sumimage, cat_col, cat_row, cat_tmag, cat_starid, cat_valid,
                target_row, target_col, target_tmag, collected=None,
-               params: K2P2Params = K2P2Params()):
+               params: K2P2Params = K2P2Params(), debug: bool = False):
     """Build the photometric mask for one target stamp.  Pure; vmappable.
 
     Parameters:
@@ -318,8 +336,13 @@ def build_mask(sumimage, cat_col, cat_row, cat_tmag, cat_starid, cat_valid,
         # pixels keeps only its single best marker (k2p2v2.py:193-218):
         sat_map = _saturated_pixel_map(sumimage, above2)
         markers = _clean_saturated_markers(markers, blurred, sat_map)
-        seg = watershed_segment(blurred, markers, above2)
+        # connectivity=1 (4-neighborhood): the reference floods with
+        # skimage's default connectivity (k2p2v2.py:227 watershed call), so
+        # pixels attached to a basin only diagonally stay OUT of the mask
+        # even though DBSCAN (eps=sqrt(2)) links them into the cluster.
+        seg = watershed_segment(blurred, markers, above2, connectivity=1)
     else:
+        blurred = jnp.where(above2, jnp.nan_to_num(sumimage), 0.0)
         seg = jnp.where(above2, labels, 0)
 
     # Mask of the main target = basin containing its rounded position:
@@ -358,6 +381,59 @@ def build_mask(sumimage, cat_col, cat_row, cat_tmag, cat_starid, cat_valid,
 
     in_mask = star_inside & mask[cat_r, cat_c]
 
+    out = {
+        "mask": mask,
+        "found_mask": found,
+        "no_flux": ~any_flux,
+        "edge": edge,
+        "cut": cut,
+        "bandwidth": bw,
+        "in_mask": in_mask,
+        "mask_size": jnp.sum(mask),
+    }
+    if debug:
+        # Intermediate images for the K2P2 5-panel diagnostic figure
+        # (k2p2v2.py:664-744): thresholded pixels, DBSCAN labels, watershed
+        # segmentation and the blurred flux driving it.
+        out.update(above=above, labels=labels, seg=seg, blurred=blurred)
+    return out
+
+
+def _mask_tail(sumimage, seg, above, any_flux, cut, bw, cat_col, cat_row,
+               cat_tmag, cat_valid, target_row, target_col, collected,
+               params: K2P2Params):
+    """Per-stamp tail of :func:`build_mask` after segmentation: main-basin
+    pick, hole fill, overflow extension, fallback, edge/in-mask flags."""
+    H, W = sumimage.shape
+    tr = jnp.clip(jnp.round(target_row).astype(jnp.int32), 0, H - 1)
+    tc = jnp.clip(jnp.round(target_col).astype(jnp.int32), 0, W - 1)
+    main_label = seg[tr, tc]
+    mask_main = (seg == main_label) & (main_label > 0)
+    mask_size0 = jnp.sum(mask_main)
+    found = (main_label > 0) & (mask_size0 >= params.min_no_pixels_in_mask) & any_flux
+
+    mask_main = _fill_holes_4(mask_main)
+
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    cat_r = jnp.clip(jnp.round(cat_row).astype(jnp.int32), 0, H - 1)
+    cat_c = jnp.clip(jnp.round(cat_col).astype(jnp.int32), 0, W - 1)
+    star_inside = cat_valid & (jnp.round(cat_row) >= 0) & (jnp.round(cat_row) <= H - 1) \
+        & (jnp.round(cat_col) >= 0) & (jnp.round(cat_col) <= W - 1)
+    star_in_mask = star_inside & mask_main[cat_r, cat_c]
+    flux_sum = jnp.sum(jnp.where(star_in_mask, 10 ** (-0.4 * cat_tmag), 0.0))
+    mags_total = jnp.where(flux_sum > 0, -2.5 * jnp.log10(flux_sum), jnp.inf)
+    if params.extend_overflow:
+        mask_ext = _saturated_column_extension(sumimage, mask_main, above, mags_total, params)
+        mask_main = jnp.where(found, mask_ext, mask_main)
+
+    min_ap = ((jnp.abs(xx.astype(jnp.float32) - target_col) <= 1)
+              & (jnp.abs(yy.astype(jnp.float32) - target_row) <= 1)
+              & collected)
+    mask = jnp.where(found, mask_main, min_ap)
+
+    edge = jnp.stack([jnp.any(mask[0, :]), jnp.any(mask[-1, :]),
+                      jnp.any(mask[:, 0]), jnp.any(mask[:, -1])])
+    in_mask = star_inside & mask[cat_r, cat_c]
     return {
         "mask": mask,
         "found_mask": found,
@@ -374,13 +450,56 @@ def build_mask(sumimage, cat_col, cat_row, cat_tmag, cat_starid, cat_valid,
 def build_masks_batch(sumimages, cat_col, cat_row, cat_tmag, cat_starid,
                       cat_valid, target_row, target_col, target_tmag,
                       collected=None, params: K2P2Params = K2P2Params()):
-    """vmapped :func:`build_mask` over a batch of target stamps.
+    """Batched :func:`build_mask` over N target stamps, bit-identical to the
+    per-stamp function (asserted in tests/test_k2p2.py) but restructured for
+    TPU lane utilization:
+
+    - element-wise / small-reduction stages (threshold, blur, markers,
+      saturated map) run as a leading-batch ``vmap``;
+    - the fixed-point label-propagation stages (DBSCAN components,
+      watershed flooding) run **batch-last** — (h, w, N) puts the batch on
+      the 128-lane axis, where a leading-batch vmap of the while-loops
+      leaves a 17-px stamp width at ~13% lane utilization per iteration
+      (ops/labeling.py; measured ~5x at N=2048).
 
     sumimages: (N, h, w); cat_*: (N, K); target_*: (N,).
     """
-    fn = lambda s, cc, cr, ct, cs, cv, tr, tc, tt, col: build_mask(
-        s, cc, cr, ct, cs, cv, tr, tc, tt, col, params)
     if collected is None:
         collected = jnp.isfinite(sumimages)
-    return jax.vmap(fn)(sumimages, cat_col, cat_row, cat_tmag, cat_starid,
-                        cat_valid, target_row, target_col, target_tmag, collected)
+
+    # A. threshold (vmapped):
+    cut, bw, any_flux = jax.vmap(lambda s: _threshold(s, params))(sumimages)
+    above = jnp.where(jnp.isfinite(sumimages),
+                      sumimages > cut[:, None, None], False)
+
+    # B. DBSCAN clustering, batch-last:
+    labels = jnp.transpose(
+        dbscan_labels(jnp.transpose(above, (1, 2, 0)),
+                      min_samples=params.min_for_cluster), (2, 0, 1))
+    above2 = above & (labels > 0)
+
+    # C. blur + markers (vmapped), D. watershed (batch-last):
+    if params.segmentation:
+        def prep(s, a2, cc, cr, ct, cv):
+            flux_above = jnp.where(a2, jnp.nan_to_num(s), 0.0)
+            blurred = gaussian_blur2d(flux_above, params.ws_blur)
+            markers = _catalog_markers(blurred, a2, cc, cr, ct, cv, params)
+            sat_map = _saturated_pixel_map(s, a2)
+            return blurred, _clean_saturated_markers(markers, blurred, sat_map)
+
+        blurred, markers = jax.vmap(prep)(sumimages, above2, cat_col,
+                                          cat_row, cat_tmag, cat_valid)
+        seg = jnp.transpose(
+            watershed_segment(jnp.transpose(blurred, (1, 2, 0)),
+                              jnp.transpose(markers, (1, 2, 0)),
+                              jnp.transpose(above2, (1, 2, 0)),
+                              connectivity=1), (2, 0, 1))
+    else:
+        seg = jnp.where(above2, labels, 0)
+
+    # E. tail (vmapped):
+    return jax.vmap(lambda s, sg, a, af, ct_, bw_, cc, cr, cm, cv, tr, tc,
+                    col: _mask_tail(s, sg, a, af, ct_, bw_, cc, cr, cm, cv,
+                                    tr, tc, col, params))(
+        sumimages, seg, above, any_flux, cut, bw, cat_col, cat_row,
+        cat_tmag, cat_valid, target_row, target_col, collected)

@@ -195,7 +195,12 @@ def gaussian_blur2d(img, sigma: float = 1.0):
     h, w = img.shape
     Gr = jnp.asarray(_blur_matrix(h, float(sigma)))
     Gc = jnp.asarray(_blur_matrix(w, float(sigma)))
-    return Gr @ img @ Gc.T
+    # HIGHEST: on TPU the default f32 matmul precision is bf16 (~0.3%
+    # relative), enough to flip peak/saddle topology on the blurred surface
+    # and silently merge watershed markers of close stars; full-f32 passes
+    # on these small band matrices are effectively free.
+    dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return dot(dot(Gr, img), Gc.T)
 
 
 _SCHARR_X = np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], np.float32) / 32.0

@@ -199,3 +199,48 @@ def test_mask_robustness_fuzz():
             assert found[t], f"trial {t}: no mask at SNR {snrs[t]:.0f}"
             assert masks[t, int(round(tr[t])), int(round(tc[t]))], \
                 f"trial {t}: target outside its mask"
+
+
+def test_batch_pipeline_matches_per_stamp_vmap():
+    """build_masks_batch (batch-last label stages, core restructure for TPU
+    lane utilization) is bit-identical to a plain vmap of build_mask."""
+    import jax
+    from photometry_tpu.models.k2p2 import build_mask, build_masks_batch
+
+    params = K2P2Params(thresh=0.8, min_no_pixels_in_mask=4,
+                        min_for_cluster=4, ws_blur=0.5, ws_thres=0.0,
+                        ws_footprint=3, segmentation=True,
+                        extend_overflow=True)
+    H = W = 17
+    N, K = 64, 4
+    rng = np.random.default_rng(5)
+    imgs = rng.normal(0, 1.5, (N, H, W)).astype(np.float32)
+    cc = np.full((N, K), 1e9, np.float32); cr = np.full((N, K), 1e9, np.float32)
+    ct = np.full((N, K), 30.0, np.float32); cv = np.zeros((N, K), bool)
+    cs = np.zeros((N, K), np.int64)
+    tr = np.zeros(N, np.float32); tc = np.zeros(N, np.float32)
+    tt = np.zeros(N, np.float32)
+    for t in range(N):
+        ns = int(rng.integers(1, 4))
+        for i in range(ns):
+            r, c = rng.uniform(3, H - 4, 2)
+            _gauss_star(imgs[t], r, c, rng.uniform(300, 60000))
+            cr[t, i], cc[t, i], ct[t, i] = r, c, rng.uniform(6.0, 13.0)
+            cv[t, i], cs[t, i] = True, i + 1
+        tr[t], tc[t], tt[t] = cr[t, 0], cc[t, 0], ct[t, 0]
+    args = tuple(jnp.asarray(a) for a in
+                 (imgs, cc, cr, ct, cs, cv, tr, tc, tt))
+    coll = jnp.ones((N, H, W), bool)
+
+    batched = build_masks_batch(*args, collected=coll, params=params)
+    ref = jax.vmap(lambda s, a1, a2, a3, a4, a5, a6, a7, a8, col: build_mask(
+        s, a1, a2, a3, a4, a5, a6, a7, a8, col, params))(*args, coll)
+    for key in ("mask", "found_mask", "no_flux", "edge", "in_mask", "mask_size"):
+        np.testing.assert_array_equal(np.asarray(batched[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+    # The cut may differ at the last ulp: XLA fuses the threshold reductions
+    # differently in the two programs (bit-stability across compilations is
+    # not an XLA guarantee).  The discrete outputs above are what must (and
+    # do) agree exactly.
+    np.testing.assert_allclose(np.asarray(batched["cut"]),
+                               np.asarray(ref["cut"]), rtol=3e-6)
