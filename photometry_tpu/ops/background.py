@@ -229,12 +229,33 @@ def estimate_background(images, mask=None, camera: Optional[int] = None,
     if use_radial:
         if radius_image is None:
             radius_image = radial_coordinates((H, W), camera, ccd, col_offset)
-        r = jnp.asarray(radius_image, jnp.float32)
-        rmax = float(np.max(np.asarray(radius_image)))
+        r_host = np.asarray(radius_image, np.float32)
+        rmax = float(np.max(r_host))
         bins = np.arange(radial_cutoff, rmax + radial_pixel_step, radial_pixel_step)
         if len(bins) < 4:
-            # Radius range too small for the radial model; fall back to tiles.
+            # Sub-CCD frame: the camera-centre radius range inside the frame
+            # spans fewer than a few ring steps, so the production ring model
+            # cannot resolve the glow.  Fall back to rings about the frame
+            # corner FARTHEST from the camera centre — where the physical
+            # corner glow sits (the reference models glow as radial beyond
+            # 2400 px from the camera centre, backgrounds.py:121-206, i.e.
+            # concentrated toward the max-radius corners) — with the ring
+            # step scaled to the frame diagonal.  Without this, a steep glow
+            # corner on a 96-160 px frame is left to the tile mesh, whose
+            # edge extrapolation undershoots by tens of e-/s.
+            corner_r = {(0, 0): r_host[0, 0], (0, W - 1): r_host[0, -1],
+                        (H - 1, 0): r_host[-1, 0], (H - 1, W - 1): r_host[-1, -1]}
+            gy, gx = max(corner_r, key=corner_r.get)
+            yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+            r_host = np.hypot(yy - gy, xx - gx).astype(np.float32)
+            radial_pixel_step = max(2, int(round(float(np.hypot(H, W)) / 48)))
+            radial_cutoff = 0.0
+            rmax = float(np.max(r_host))
+            bins = np.arange(0.0, rmax + radial_pixel_step, radial_pixel_step)
+        if len(bins) < 4:
             use_radial = False
+        else:
+            r = jnp.asarray(r_host, jnp.float32)
     if use_radial:
         n_rings = len(bins) - 1
         bin_centers = jnp.asarray(bins[1:] - radial_pixel_step / 2, jnp.float32)

@@ -68,6 +68,57 @@ def quality_from_tpf(tpffile: str, time_start, time_end) -> np.ndarray:
     return out & TESSQualityFlags.FFI_RELEVANT_BITMASK
 
 
+def _catalog_source_mask(input_folder: str, sector: int, camera: int,
+                         ccd: int, shape, wcs,
+                         tmag_limit: float = 15.0) -> Optional[np.ndarray]:
+    """Boolean (H, W) mask of catalog-star footprints, True = exclude.
+
+    The reference's background fit excludes only pixels above flux_cutoff
+    (backgrounds.py:98-101), leaving bright-star PSF wings inside the
+    SExtractor-mode tiles; the wing-inflated tile means bias the mode
+    2.5*median-1.5*mean LOW by up to ~1.5 e-/s near tmag<10 stars (round-3
+    sim measurement), which can flood the K2P2 masks of faint neighbours.
+    Masking known catalog sources with a brightness-scaled radius (standard
+    source-masking practice) removes the bias; over-masked tiles are bridged
+    by the mesh's NaN-tile interpolation.  Returns None when no catalog or
+    usable WCS is available (behavior then matches the reference).
+    """
+    cats = discovery.find_catalog_files(input_folder, sector=sector,
+                                        camera=camera, ccd=ccd)
+    if not cats or wcs is None:
+        return None
+    import contextlib
+    import sqlite3
+    try:
+        with contextlib.closing(sqlite3.connect(
+                "file:%s?mode=ro" % cats[0], uri=True)) as conn:
+            rows = conn.execute(
+                "SELECT ra, decl, tmag FROM catalog WHERE tmag < ?",
+                (tmag_limit,)).fetchall()
+    except sqlite3.Error:  # pragma: no cover - malformed/locked catalog
+        return None
+    if not rows:
+        return None
+    arr = np.asarray(rows, np.float64)
+    row, col = wcs.rowcol_of_radec(arr[:, 0], arr[:, 1])
+    tmag = arr[:, 2]
+    # Exclusion radius ~ wing extent: grows with log-flux, 1.5-16 px.
+    flux = np.maximum(10.0 ** (-0.4 * (tmag - 20.54)), 10.0)
+    rad = np.clip(1.5 * np.sqrt(np.log10(flux)), 1.5, 16.0)
+    H, W = shape
+    mask = np.zeros((H, W), bool)
+    for r0, c0, rr in zip(row, col, rad):
+        if not (np.isfinite(r0) and np.isfinite(c0)):
+            continue
+        if r0 < -rr or r0 > H - 1 + rr or c0 < -rr or c0 > W - 1 + rr:
+            continue
+        y0, y1 = max(0, int(r0 - rr)), min(H, int(r0 + rr) + 2)
+        x0, x1 = max(0, int(c0 - rr)), min(W, int(c0 + rr) + 2)
+        yy, xx = np.ogrid[y0:y1, x0:x1]
+        mask[y0:y1, x0:x1] |= ((yy - r0) ** 2 + (xx - c0) ** 2) < rr * rr
+    return mask
+
+
 def _wcs_roundtrip_ok(wcs, shape) -> bool:
     """Validate a WCS by projecting a corner out and back (prepare.py:433-447)."""
     if wcs is None:
@@ -118,13 +169,29 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
     cube = ImageCube.create(path, T, (H, W), header=header)
 
     radius_image = None
-    if first.is_tess:
+    if camera is not None and ccd is not None:
+        # Real-TESS science frames carry the +44 column offset; simulated /
+        # cropped frames are already in science coordinates.  Supplying the
+        # radius image even for non-flight (SIMTESS) frames lets
+        # estimate_background engage its radial glow model — including the
+        # small-frame corner-ring fallback on sub-CCD frames, where the tile
+        # mesh alone undershoots a steep glow corner by tens of e-/s.
         from .ops.background import radial_coordinates
-        radius_image = radial_coordinates((H, W), camera, ccd)
+        radius_image = radial_coordinates(
+            (H, W), camera, ccd, col_offset=44 if first.is_tess else 0)
     if tile is None:
         # 64 px tiles on full CCDs (photutils parity); keep a mesh of at
         # least ~6x6 tiles on smaller (test/simulated) frames.
         tile = int(min(64, max(8, min(H, W) // 6)))
+
+    # Known catalog sources are excluded from the background fit (see
+    # _catalog_source_mask); static across the chunk loop.
+    source_mask = _catalog_source_mask(
+        input_folder, sector, camera, ccd, (H, W),
+        first.wcs if _wcs_roundtrip_ok(first.wcs, (H, W)) else None)
+    if source_mask is not None:
+        logger.info("Masking %.1f%% of pixels as catalog sources for the "
+                    "background fit.", 100.0 * source_mask.mean())
 
     # ------------------------------------------------------------------
     # Stage 1: backgrounds (batched on device) + NotUsedForBackground flags
@@ -141,8 +208,9 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
                 frame = next(frames)
                 stack[i] = frame.data
                 manex[i] = manual_exclude_mask(frame.data, frame.header, frame.is_tess)
+            exclude = manex if source_mask is None else (manex | source_mask)
             bkg, mask_used = estimate_background(
-                stack, mask=manex, flux_cutoff=flux_cutoff,
+                stack, mask=exclude, flux_cutoff=flux_cutoff,
                 radius_image=radius_image, tile=tile)
             raw_bkg[t0:t1] = np.asarray(bkg)
             flags = np.where(np.asarray(mask_used),

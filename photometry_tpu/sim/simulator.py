@@ -19,6 +19,7 @@ true background) available for assertions.
 from __future__ import annotations
 
 import os
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -70,6 +71,8 @@ class SimConfig:
     noise: bool = True
     seed: int = 42
     tstart_btjd: float = 1325.29
+    #: explicit star list ((row, col, tmag), ...); overrides random placement
+    stars: Optional[tuple] = None
 
 
 @dataclass
@@ -335,11 +338,19 @@ def simulate_sector(cfg: Optional[SimConfig] = None, **kw) -> SimulatedSector:
         ref_time = 2457000.0 + time[T // 2]
 
     # --- star field ---------------------------------------------------------
-    margin = 4.0
-    row_ref = rng.uniform(margin, H - margin, cfg.n_stars)
-    col_ref = rng.uniform(margin, W - margin, cfg.n_stars)
-    tmag = rng.uniform(*cfg.tmag_range, cfg.n_stars)
-    tmag.sort()  # brightest first, stable target ids
+    if cfg.stars is not None:
+        # Explicit star list ((row, col, tmag), ...) for stress/truth tests.
+        arr = np.asarray(cfg.stars, np.float64).reshape(-1, 3)
+        order = np.argsort(arr[:, 2])  # brightest first, stable target ids
+        arr = arr[order]
+        row_ref, col_ref, tmag = arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy()
+        cfg = dataclasses.replace(cfg, n_stars=len(arr))
+    else:
+        margin = 4.0
+        row_ref = rng.uniform(margin, H - margin, cfg.n_stars)
+        col_ref = rng.uniform(margin, W - margin, cfg.n_stars)
+        tmag = rng.uniform(*cfg.tmag_range, cfg.n_stars)
+        tmag.sort()  # brightest first, stable target ids
     starid = np.arange(100000001, 100000001 + cfg.n_stars, dtype=np.int64)
     pm_ra = rng.normal(0, 20, cfg.n_stars)     # mas/yr
     pm_dec = rng.normal(0, 20, cfg.n_stars)
@@ -356,7 +367,17 @@ def simulate_sector(cfg: Optional[SimConfig] = None, **kw) -> SimulatedSector:
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
     gx, gy = cfg.bkg_gradient
     bkg0 = cfg.bkg_level * (1.0 + gx * (xx / W - 0.5) + gy * (yy / H - 0.5))
-    r_corner = np.hypot(xx, yy) / np.hypot(H, W)
+    # Place the glow at the frame corner farthest from the camera centre —
+    # the corner where the real TESS glow sits (reference backgrounds.py
+    # models it as radial beyond 2400 px from the camera centre), so the
+    # simulated geometry is self-consistent with the production background
+    # model's small-frame corner-ring fallback.
+    from ..ops.background import radial_coordinates
+    rim = radial_coordinates((H, W), cfg.camera, cfg.ccd)
+    corner_r = {(0, 0): rim[0, 0], (0, W - 1): rim[0, -1],
+                (H - 1, 0): rim[-1, 0], (H - 1, W - 1): rim[-1, -1]}
+    cy, cx = max(corner_r, key=corner_r.get)
+    r_corner = np.hypot(xx - cx, yy - cy) / np.hypot(H, W)
     glow = cfg.glow_amp * np.exp(-r_corner / cfg.glow_scale)
     # slow multiplicative time variation of the sky:
     tfac = 1.0 + 0.05 * np.sin(2 * np.pi * (time - time[0]) / 6.0)
