@@ -52,6 +52,9 @@ def main(argv=None) -> int:
                         help="Data release version to put in output files.")
     parser.add_argument("-o", "--output", default=None,
                         help="Output directory (default: alongside input).")
+    parser.add_argument("-p", "--plot", action="store_true",
+                        help="Render per-target diagnostic figures into "
+                             "<output>/plots/<starid>/ (reference run_tessphot.py --plot).")
     parser.add_argument("input_folder", nargs="?", default=None)
     args = parser.parse_args(argv)
     logger = setup_logging(args)
@@ -104,7 +107,8 @@ def main(argv=None) -> int:
                 # the batch shares this context (tpf:NNN groups are per-primary).
                 results = photometry_batch(ctx, batch,
                                            output_folder=None if args.output is None else output_folder,
-                                           version=args.version)
+                                           version=args.version,
+                                           plot_folder=output_folder if args.plot else None)
             finally:
                 ctx_cache.release(ctx, cached)
             elaptime = (default_timer() - tic) / max(len(batch), 1)

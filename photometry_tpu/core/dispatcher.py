@@ -130,7 +130,7 @@ def _error_result(task, ctx, tb: str) -> TargetResult:
         lightcurve={}, details={"errors": [tb]})
 
 
-def _run_method(ctx, starids, method: str, **kw) -> list:
+def _run_method(ctx, starids, method: str, keep_diag: bool = False, **kw) -> list:
     if method == "aperture":
         return extract_aperture_batch(ctx, starids, **kw)
     if method == "halo":
@@ -138,10 +138,10 @@ def _run_method(ctx, starids, method: str, **kw) -> list:
         return extract_halo_batch(ctx, starids, **kw)
     if method == "psf":
         from ..models.psf_fit import extract_psf_batch
-        return extract_psf_batch(ctx, starids, **kw)
+        return extract_psf_batch(ctx, starids, keep_diag=keep_diag, **kw)
     if method == "linpsf":
         from ..models.linpsf import extract_linpsf_batch
-        return extract_linpsf_batch(ctx, starids, **kw)
+        return extract_linpsf_batch(ctx, starids, keep_diag=keep_diag, **kw)
     raise ValueError(f"Invalid method: '{method}'")
 
 
@@ -161,13 +161,17 @@ def _needs_halo_switch(res: TargetResult, tmag_limit: float, flux_limit: float) 
 
 
 def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
-                     version: Optional[int] = None, save: bool = True) -> list:
+                     version: Optional[int] = None, save: bool = True,
+                     plot_folder: Optional[str] = None) -> list:
     """Run photometry for a batch of compatible tasks on one context.
 
     Tasks without an explicit method run aperture photometry; bright targets
     matching the halo-switch condition are rerun with halo.  Exceptions per
     method-group degrade to STATUS.ERROR results rather than killing the
     batch.  When ``save``, light curves of OK/WARNING results are written.
+    When ``plot_folder`` is given, per-target diagnostic figures are rendered
+    into ``<plot_folder>/plots/<starid>/`` (reference BasePhotometry.py:394-397;
+    see :mod:`photometry_tpu.diagnostics`).
     """
     settings = load_settings()
     tmag_limit = settings.getfloat("haloswitch", "tmag_limit", fallback=6.0)
@@ -185,7 +189,8 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
         # diagnostics errors column (BasePhotometry.py:171-179, 1409-1414):
         with capture_warnings() as log_messages:
             try:
-                out = _run_method(ctx, sids, method)
+                out = _run_method(ctx, sids, method,
+                                  keep_diag=plot_folder is not None)
             except Exception:
                 tb = traceback.format_exc().strip()
                 logger.exception("Method %s failed for batch", method)
@@ -233,6 +238,9 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
             except Exception:
                 res.status = STATUS.ERROR
                 res.details.setdefault("errors", []).append(traceback.format_exc().strip())
+        if plot_folder is not None and res.status in (STATUS.OK, STATUS.WARNING):
+            from ..diagnostics import plot_target_diagnostics
+            plot_target_diagnostics(res, ctx, plot_folder)
         final.append(res)
     return final
 
@@ -242,7 +250,8 @@ def photometry_single(starid: int, input_folder: str, method: Optional[str] = No
                       camera: Optional[int] = None, ccd: Optional[int] = None,
                       cadence: Optional[int] = None,
                       output_folder: Optional[str] = None,
-                      version: Optional[int] = None, save: bool = True) -> TargetResult:
+                      version: Optional[int] = None, save: bool = True,
+                      plot_folder: Optional[str] = None) -> TargetResult:
     """One-star entry point (reference tessphot.py call signature)."""
     task = {"starid": starid, "datasource": datasource, "sector": sector,
             "camera": camera, "ccd": ccd, "cadence": cadence, "method": method}
@@ -251,6 +260,7 @@ def photometry_single(starid: int, input_folder: str, method: Optional[str] = No
         task.update({"sector": ctx.sector, "camera": ctx.camera, "ccd": ctx.ccd,
                      "cadence": ctx.cadence})
         return photometry_batch(ctx, [task], output_folder=output_folder,
-                                version=version, save=save)[0]
+                                version=version, save=save,
+                                plot_folder=plot_folder)[0]
     finally:
         ctx.close()

@@ -78,7 +78,8 @@ def linpsf_timeseries_batch(images, rows_t, cols_t, valid, prf, shape, S: int):
     return jax.vmap(one)(images, rows_t, cols_t, valid)
 
 
-def extract_linpsf_batch(ctx, starids, prf=None, **_kw) -> list:
+def extract_linpsf_batch(ctx, starids, prf=None, keep_diag: bool = False,
+                         **_kw) -> list:
     """Linear PSF photometry for a batch of targets on one context.
 
     Targets are grouped into padded stamp buckets and each group runs as ONE
@@ -99,8 +100,7 @@ def extract_linpsf_batch(ctx, starids, prf=None, **_kw) -> list:
 
     results = {}
     for (bh, bw), full_group in groups.items():
-        for group in _group_chunks(full_group, T, bh, bw):
-            N = len(group)
+        for group, N in _group_chunks(full_group, T, bh, bw):
             S = len(group[0][0].valid)
             r0s = np.array([g[1] for g in group], np.int32)
             c0s = np.array([g[2] for g in group], np.int32)
@@ -119,7 +119,8 @@ def extract_linpsf_batch(ctx, starids, prf=None, **_kw) -> list:
             cols_ccd = np.where(valid, cols0 + c0s[:, None], 0.0)
             # Jitter-shifted positions per cadence (catalog_attime equivalent):
             jit_all = ctx.motion.jitter_batch(
-                t_nc, cols_ccd.ravel(), rows_ccd.ravel()).reshape(T, N, S, 2)
+                t_nc, cols_ccd.ravel(), rows_ccd.ravel()
+            ).reshape(T, len(group), S, 2)
             rows_t = rows0[None] + np.where(valid[None], jit_all[:, :, :, 1], 0.0)
             cols_t = cols0[None] + np.where(valid[None], jit_all[:, :, :, 0], 0.0)
             rows_t = np.moveaxis(rows_t, 0, 1)                          # (N, T, S)
@@ -163,7 +164,20 @@ def extract_linpsf_batch(ctx, starids, prf=None, **_kw) -> list:
                 jnp.asarray(pos))
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
 
-            for i, (setup, r0, c0) in enumerate(group):
+            diag_models = diag_data = diag_mid = None
+            if keep_diag:
+                # Best-fit model images at the middle cadence for the fit /
+                # residual diagnostic figure (linpsf_photometry.py:174-194).
+                diag_mid = T // 2
+                pm = np.stack([rows_t[:, diag_mid], cols_t[:, diag_mid],
+                               np.where(valid, fluxes[:, diag_mid], 0.0)],
+                              axis=2).astype(np.float32)              # (N, S, 3)
+                diag_models = np.asarray(jax.jit(
+                    lambda p: prf.render_batch(p, (bh, bw), CUTOFF_RADIUS))(
+                    jnp.asarray(pm)))
+                diag_data = np.asarray(imgs[:, diag_mid])
+
+            for i, (setup, r0, c0) in enumerate(group[:N]):
                 s = setup.stamp
                 nh, nw = s[1] - s[0], s[3] - s[2]
                 # Contamination from fitted fluxes (linpsf_photometry.py:206-216):
@@ -196,6 +210,11 @@ def extract_linpsf_batch(ctx, starids, prf=None, **_kw) -> list:
                 if np.all(~np.isfinite(flux[i])):
                     status = STATUS.ERROR
                     details["errors"] = ["Final lightcurve fluxes are all NaNs"]
+                if keep_diag:
+                    details["diag_fit"] = {"data": diag_data[i],
+                                           "model": diag_models[i],
+                                           "cadence": diag_mid,
+                                           "mini_aperture": np.asarray(mini_b[i])}
 
                 t_i, tc_i = ctx.corrected_time(setup.target["ra"],
                                                setup.target["decl"])

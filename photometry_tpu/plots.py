@@ -34,7 +34,8 @@ def _stretch(data, scale: str, vmin, vmax):
         vmax = hi if vmax is None else vmax
     if vmax <= vmin:
         vmax = vmin + 1e-30
-    x = np.clip((d - vmin) / (vmax - vmin), 0, 1)
+    with np.errstate(invalid="ignore"):   # NaN pixels render as masked
+        x = np.clip((d - vmin) / (vmax - vmin), 0, 1)
     if scale == "linear":
         y = x
     elif scale == "sqrt":
@@ -74,17 +75,22 @@ def plot_image(image, ax=None, scale="log", cmap=None, origin="lower",
         vmin = lo if vmin is None else vmin
         vmax = hi if vmax is None else vmax
 
-    stretched, vmin, vmax = _stretch(image.filled(np.nan), scale, vmin, vmax)
-    stretched = np.ma.masked_invalid(stretched)
-
     extent = None
     if offset_axes is not None:
         H, W = image.shape
         extent = (offset_axes[0] - 0.5, offset_axes[0] + W - 0.5,
                   offset_axes[1] - 0.5, offset_axes[1] + H - 0.5)
 
-    im = ax.imshow(stretched, cmap=cmap, origin=origin, vmin=0, vmax=1,
-                   extent=extent, interpolation="nearest", **kwargs)
+    if isinstance(scale, matplotlib.colors.Normalize):
+        # A matplotlib norm (e.g. SymLogNorm for halo weight maps) is passed
+        # straight through, matching reference plots.py's scale handling:
+        im = ax.imshow(image, cmap=cmap, origin=origin, norm=scale,
+                       extent=extent, interpolation="nearest", **kwargs)
+    else:
+        stretched, vmin, vmax = _stretch(image.filled(np.nan), scale, vmin, vmax)
+        stretched = np.ma.masked_invalid(stretched)
+        im = ax.imshow(stretched, cmap=cmap, origin=origin, vmin=0, vmax=1,
+                       extent=extent, interpolation="nearest", **kwargs)
     if title:
         ax.set_title(title)
     if xlabel:
