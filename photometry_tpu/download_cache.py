@@ -25,7 +25,89 @@ from .io.settings import sector_info
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["cache_dir", "ephemeris_path", "download_cache", "load_cached_ephemeris"]
+__all__ = ["cache_dir", "ephemeris_path", "download_cache",
+           "load_cached_ephemeris", "horizons_to_ephemeris"]
+
+AU_KM = 149597870.7
+
+
+def horizons_to_ephemeris(source: str, output: Optional[str] = None
+                          ) -> SpacecraftEphemeris:
+    """Convert a JPL Horizons VECTORS export to the npz ephemeris schema.
+
+    This is the offline provisioning path for real spacecraft ephemerides
+    (the reference instead downloads binary SPICE kernels at run time,
+    spice.py:104-158): export TESS (``-95``) barycentric state vectors from
+    https://ssd.jpl.nasa.gov/horizons/ with center ``500@0`` (solar system
+    barycenter), reference plane FRAME/ICRF, any step, and feed the saved
+    text file here.  Both Horizons output styles are understood:
+
+    - CSV rows (``CSV_FORMAT=YES``): ``JDTDB, calendar, X, Y, Z, ...``
+    - verbose blocks (default): ``JD = A.D. ...`` line followed by
+      ``X = ... Y = ... Z = ...``
+
+    Units are detected from the ``Output units`` header (KM or AU).
+
+    Parameters:
+        source: path to the Horizons text export.
+        output: optional path to write the ``.npz`` table (e.g.
+            :func:`ephemeris_path` to drop it straight into the cache).
+
+    Returns:
+        The parsed :class:`SpacecraftEphemeris`.
+    """
+    import re
+
+    with open(source) as fh:
+        text = fh.read()
+    m = re.search(r"\$\$SOE(.*?)\$\$EOE", text, re.S)
+    if not m:
+        raise ValueError(f"No $$SOE/$$EOE data block in {source!r} — "
+                         "is this a Horizons VECTORS export?")
+    header = text[:m.start()]
+    scale = 1.0
+    mu = re.search(r"Output units\s*:\s*([A-Z-]+)", header)
+    if mu and mu.group(1).startswith("AU"):
+        scale = AU_KM
+
+    import numpy as np
+    times, pos = [], []
+    block = m.group(1).strip().splitlines()
+    i = 0
+    float_re = r"[-+]?\d+\.?\d*(?:[Ee][-+]?\d+)?"
+    while i < len(block):
+        line = block[i].strip()
+        i += 1
+        if not line:
+            continue
+        if "," in line:
+            # CSV row: JDTDB, calendar date, X, Y, Z[, VX, VY, VZ][, ...]
+            parts = [p.strip() for p in line.split(",")]
+            times.append(float(parts[0]))
+            pos.append([float(parts[2]), float(parts[3]), float(parts[4])])
+        else:
+            # Verbose: "2458324.5 = A.D. 2018-Jul-25 00:00 TDB" then X/Y/Z:
+            mjd = re.match(rf"({float_re})\s*=", line)
+            if not mjd:
+                continue
+            jd = float(mjd.group(1))
+            xyz = {}
+            while i < len(block) and len(xyz) < 3:
+                for name, val in re.findall(
+                        rf"\b(X|Y|Z)\s*=\s*({float_re})", block[i]):
+                    xyz[name] = float(val)
+                i += 1
+            if len(xyz) == 3:
+                times.append(jd)
+                pos.append([xyz["X"], xyz["Y"], xyz["Z"]])
+    if not times:
+        raise ValueError(f"No state vectors parsed from {source!r}")
+    eph = SpacecraftEphemeris(time=np.asarray(times, np.float64),
+                              pos=np.asarray(pos, np.float64) * scale)
+    if output:
+        eph.save(output)
+        logger.info("Wrote %d-sample ephemeris to %s", len(times), output)
+    return eph
 
 
 def cache_dir() -> str:
@@ -47,7 +129,14 @@ def download_cache(testing: bool = False, jd_start: Optional[float] = None,
         logger.info("Ephemeris cache already present: %s", path)
         return path
 
+    # Production URL: environment variable wins, else the [timecorr]
+    # ephemeris_url settings key (counterpart of the reference's kernel
+    # download base URL, spice.py:122-124).
     url = os.environ.get("PHOTOMETRY_TPU_EPHEMERIS_URL")
+    if not url:
+        from .io.settings import load_settings
+        url = load_settings().get("timecorr", "ephemeris_url",
+                                  fallback="").strip() or None
     if url:
         import urllib.request
         tmp = path + ".part"

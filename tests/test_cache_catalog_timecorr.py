@@ -42,6 +42,95 @@ def test_download_cache_url_fetch(tmp_path, monkeypatch):
     np.testing.assert_array_equal(eph.pos, pos)
 
 
+def test_horizons_sample_ingestion(tmp_path):
+    """The shipped Horizons-format sample parses and drives a TimeCorrector
+    (tools/make_ephemeris.py path; reference acquires SPICE kernels instead,
+    spice.py:104-158)."""
+    import photometry_tpu
+    from photometry_tpu.download_cache import horizons_to_ephemeris
+    sample = os.path.join(os.path.dirname(photometry_tpu.__file__),
+                          "data", "ephemeris", "tess_horizons_sample.txt")
+    out = str(tmp_path / "eph.npz")
+    eph = horizons_to_ephemeris(sample, output=out)
+    assert os.path.exists(out)
+    assert len(eph.time) >= 50
+    # Positions are SSB-centric, ~1 AU scale:
+    r = np.linalg.norm(eph.pos, axis=1)
+    assert 0.9e8 < r.mean() < 1.8e8
+    # Drives barycentric corrections of the right magnitude (<= ~500 s):
+    tc = TimeCorrector(eph)
+    t = eph.time[5:-5] - 2457000.0
+    corr = tc.barycentric_correction(t, ra=35.0, dec=-65.0)
+    assert np.all(np.abs(corr) < 550.0 / 86400.0)
+    assert np.std(corr) > 0  # actually varies along the orbit
+
+
+def test_horizons_verbose_format_and_au_units(tmp_path):
+    """Parser handles the default (non-CSV) Horizons block and AU units."""
+    from photometry_tpu.download_cache import AU_KM, horizons_to_ephemeris
+    text = """Output units    : AU-D
+*******************************************************************************
+$$SOE
+2458324.500000000 = A.D. 2018-Jul-25 00:00:00.0000 TDB
+ X = 5.000000000000000E-01 Y =-8.000000000000000E-01 Z = 1.000000000000000E-02
+ VX= 1.0E-02 VY= 2.0E-03 VZ= 1.0E-04
+2458325.500000000 = A.D. 2018-Jul-26 00:00:00.0000 TDB
+ X = 5.100000000000000E-01 Y =-7.900000000000000E-01 Z = 1.100000000000000E-02
+ VX= 1.0E-02 VY= 2.0E-03 VZ= 1.0E-04
+$$EOE
+"""
+    src = tmp_path / "horizons_verbose.txt"
+    src.write_text(text)
+    eph = horizons_to_ephemeris(str(src))
+    np.testing.assert_allclose(eph.time, [2458324.5, 2458325.5])
+    np.testing.assert_allclose(eph.pos[0], np.array([0.5, -0.8, 0.01]) * AU_KM)
+    np.testing.assert_allclose(eph.pos[1], np.array([0.51, -0.79, 0.011]) * AU_KM)
+    # Garbage input raises:
+    bad = tmp_path / "bad.txt"
+    bad.write_text("no block here")
+    with pytest.raises(ValueError):
+        horizons_to_ephemeris(str(bad))
+
+
+def test_make_ephemeris_cli(tmp_path):
+    import subprocess, sys
+    import photometry_tpu
+    sample = os.path.join(os.path.dirname(photometry_tpu.__file__),
+                          "data", "ephemeris", "tess_horizons_sample.txt")
+    out = str(tmp_path / "cli_eph.npz")
+    repo = os.path.dirname(os.path.dirname(photometry_tpu.__file__))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "make_ephemeris.py"),
+         sample, "-o", out],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+    assert "samples" in proc.stdout
+    assert os.path.exists(out)
+
+
+def test_download_cache_url_from_settings(tmp_path, monkeypatch):
+    """[timecorr] ephemeris_url provisions the cache when no env URL is set."""
+    src = tmp_path / "eph.npz"
+    t = np.arange(2458300.0, 2458320.0, 0.5)
+    pos = np.stack([t, t * 0 + 1e8, t * 0], axis=1)
+    SpacecraftEphemeris(time=t, pos=pos).save(str(src))
+    ini = tmp_path / "settings.ini"
+    ini.write_text(f"[timecorr]\nephemeris_url = {src.as_uri()}\n")
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("PHOTOMETRY_TPU_CACHE", str(cache))
+    monkeypatch.delenv("PHOTOMETRY_TPU_EPHEMERIS_URL", raising=False)
+    monkeypatch.setenv("PHOTOMETRY_TPU_SETTINGS", str(ini))
+    from photometry_tpu.io.settings import load_settings
+    load_settings.cache_clear()
+    try:
+        from photometry_tpu.download_cache import download_cache
+        p = download_cache()
+        with np.load(p) as d:
+            np.testing.assert_array_equal(d["time"], t)
+    finally:
+        load_settings.cache_clear()
+
+
 def test_make_catalog_from_tic_extract(tmp_path):
     from photometry_tpu.catalog import make_catalog, StarCatalog
     n = 12
