@@ -17,7 +17,9 @@ def main(argv=None) -> int:
                         choices=("images", "backgrounds", "pixelflags"))
     parser.add_argument("--fps", type=int, default=10)
     parser.add_argument("--frames", type=int, default=None, help="Limit frame count.")
-    parser.add_argument("--format", dest="fmt", default="gif", choices=("gif", "png"))
+    parser.add_argument("--format", dest="fmt", default="gif", choices=("gif", "png", "mp4"),
+                        help="mp4 needs an ffmpeg binary on PATH "
+                             "(reference run_ffimovie.py writes MP4)")
     parser.add_argument("--combined", action="store_true",
                         help="Render the 16-CCD focal-plane mosaic movie "
                              "instead of per-CCD movies.")

@@ -46,11 +46,44 @@ def _color_scale(cube: ImageCube, dataset: str = "images") -> tuple:
     return float(vmin), float(vmax)
 
 
+def ffmpeg_available() -> bool:
+    """True when an ``ffmpeg`` binary is on PATH (capability check for the
+    MP4 output the reference writes, run_ffimovie.py:66-211)."""
+    import shutil
+    return shutil.which("ffmpeg") is not None
+
+
+def _write_mp4(frames, out: str, fps: int) -> str:
+    """Encode a list of PIL RGB frames to H.264 MP4 by piping raw video to
+    ffmpeg (no third-party encoder dependency; yuv420p for compatibility,
+    matching the reference's ffmpeg settings at run_ffimovie.py:198-205)."""
+    import subprocess
+    w, h = frames[0].size
+    # H.264 requires even dimensions:
+    w -= w % 2
+    h -= h % 2
+    proc = subprocess.Popen(
+        ["ffmpeg", "-y", "-loglevel", "error", "-f", "rawvideo",
+         "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", str(fps), "-i", "-",
+         "-an", "-vcodec", "libx264", "-pix_fmt", "yuv420p", out],
+        stdin=subprocess.PIPE)
+    for f in frames:
+        proc.stdin.write(np.asarray(f)[:h, :w].tobytes())
+    proc.stdin.close()
+    if proc.wait() != 0:
+        raise RuntimeError(f"ffmpeg failed encoding {out}")
+    return out
+
+
 def make_movie(cube_path: str, output: Optional[str] = None,
                dataset: str = "images", fps: int = 10,
                max_frames: Optional[int] = None, fmt: str = "gif",
                dpi: int = 80) -> str:
-    """Render one cube dataset to an animated GIF (or PNG frame directory)."""
+    """Render one cube dataset to an MP4 (when ffmpeg is available), an
+    animated GIF, or a PNG frame directory (``fmt`` in mp4/gif/png)."""
+    if fmt == "mp4" and not ffmpeg_available():
+        raise RuntimeError("fmt='mp4' requires an ffmpeg binary on PATH "
+                           "(use fmt='gif' on hosts without one)")
     from PIL import Image as PILImage
     mode = "r+"
     try:
@@ -83,9 +116,12 @@ def make_movie(cube_path: str, output: Optional[str] = None,
                 frames.append(PILImage.fromarray(buf))
         if fmt == "png":
             return outdir
-        out = output or cube_path.replace(".hdf5", f"_{dataset}.gif")
-        frames[0].save(out, save_all=True, append_images=frames[1:],
-                       duration=int(1000 / fps), loop=0)
+        out = output or cube_path.replace(".hdf5", f"_{dataset}.{fmt}")
+        if fmt == "mp4":
+            _write_mp4(frames, out, fps)
+        else:
+            frames[0].save(out, save_all=True, append_images=frames[1:],
+                           duration=int(1000 / fps), loop=0)
         logger.info("Movie written: %s", out)
         return out
     finally:
@@ -147,6 +183,9 @@ def make_combined_movie(input_folder: str, sector: int,
     from PIL import Image as PILImage
     from .io import discovery
 
+    if fmt == "mp4" and not ffmpeg_available():
+        raise RuntimeError("fmt='mp4' requires an ffmpeg binary on PATH "
+                           "(use fmt='gif' on hosts without one)")
     files = discovery.find_cube_files(input_folder, sector=sector)
     if not files:
         raise FileNotFoundError(f"No cubes for sector {sector} in {input_folder}")
@@ -190,7 +229,10 @@ def make_combined_movie(input_folder: str, sector: int,
     if fmt == "png":
         return outdir
     out = output or os.path.join(
-        input_folder, f"sector{sector:03d}_combined_{dataset}.gif")
-    frames[0].save(out, save_all=True, append_images=frames[1:],
-                   duration=max(1, int(1000 / fps)), loop=0)
+        input_folder, f"sector{sector:03d}_combined_{dataset}.{fmt}")
+    if fmt == "mp4":
+        _write_mp4(frames, out, fps)
+    else:
+        frames[0].save(out, save_all=True, append_images=frames[1:],
+                       duration=max(1, int(1000 / fps)), loop=0)
     return out

@@ -86,3 +86,26 @@ def test_combined_movie_cli(prepared):
     assert m.shape == (256, 256)
     assert np.isfinite(m[128:192, 64:128]).all()   # camera 3, ccd 2 block
     assert np.isnan(m[:64, :64]).all()
+
+
+def test_mp4_capability_gate(prepared, monkeypatch):
+    """fmt='mp4' encodes through ffmpeg when present; raises a clear error
+    otherwise (reference writes MP4s, run_ffimovie.py:66-211; this image
+    has no ffmpeg, so the error path is the one exercised for real)."""
+    import shutil
+    from photometry_tpu import movie
+    from photometry_tpu.io.discovery import find_cube_files
+
+    sim, d = prepared
+    cube = find_cube_files(d)[0]
+    if shutil.which("ffmpeg"):
+        out = movie.make_movie(cube, fmt="mp4", max_frames=2, fps=2)
+        assert out.endswith(".mp4") and os.path.getsize(out) > 0
+    else:
+        assert not movie.ffmpeg_available()
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            movie.make_movie(cube, fmt="mp4", max_frames=2)
+
+    # and the gate is purely capability-based:
+    monkeypatch.setattr(shutil, "which", lambda _: None)
+    assert not movie.ffmpeg_available()
