@@ -48,6 +48,11 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        if os.environ.get("PHOTOMETRY_TPU_NO_NATIVE", "0") == "1":
+            # Debug kill switch: force the NumPy fallbacks (e.g. to rule the
+            # native library in/out when hunting memory corruption).
+            logger.info("Native library disabled by PHOTOMETRY_TPU_NO_NATIVE.")
+            return None
         if not os.path.exists(_LIB_PATH) and not _build():
             logger.info("Native library unavailable; using NumPy fallbacks.")
             return None

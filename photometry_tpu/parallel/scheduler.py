@@ -273,6 +273,8 @@ def run_distributed(input_folder: str, n_workers: int = 2,
             if w["proc"].is_alive():  # pragma: no cover
                 w["proc"].terminate()
         tm.backup()
+        # summary.json records how many replacement workers were spawned:
+        tm.summary["respawns"] = max_respawns - respawns_left
         tm.write_summary()
         summary = dict(tm.summary)
         # Distinguish a drained queue from "every worker died before the

@@ -236,6 +236,63 @@ def sharded_psf_fit(images, backgrounds, var_const, p0, valid, mini_ap,
     return {k: v[:N] for k, v in out.items()}
 
 
+def sharded_linpsf_fit(images, rows_t, cols_t, valid, prf, shape, S: int,
+                       mesh):
+    """Target-sharded linear-PSF solves across every device of the mesh.
+
+    Same scaling shape as :func:`sharded_psf_fit`: the per-target solves
+    (models/linpsf.linpsf_timeseries_batch, a pure vmap over N) are
+    embarrassingly parallel, so N is sharded over the FLATTENED mesh with
+    no collectives; the target axis is padded to the device count.
+    """
+    from ..models.linpsf import linpsf_timeseries_batch
+
+    n_dev = mesh.size
+    N = images.shape[0]
+    spec = NamedSharding(mesh, P((TIME_AXIS, TARGET_AXIS)))
+
+    def pad(a):
+        a = np.asarray(a)
+        padn = (-len(a)) % n_dev
+        if padn:
+            a = np.concatenate([a, np.repeat(a[-1:], padn, axis=0)])
+        return a
+
+    args = [jax.device_put(pad(a), spec)
+            for a in (images, rows_t, cols_t, valid)]
+    out = linpsf_timeseries_batch(args[0], args[1], args[2], args[3],
+                                  prf, shape, S)
+    return {k: v[:N] for k, v in out.items()}
+
+
+def sharded_halo_weights(flux_norm, good_time, mesh, objective: str = "tv"):
+    """Target-sharded TV-min weight optimisation (halo photometry).
+
+    ``flux_norm``: (N, T, P) median-normalised pixel fluxes per target;
+    ``good_time``: (T,) replicated.  Each target's softmax-weight descent
+    (models/halo.tvmin_weights) is independent, so N shards over the
+    flattened mesh with no collectives.  Returns (N, P) weights and (N,)
+    objective values.
+    """
+    from ..models.halo import tvmin_weights
+
+    n_dev = mesh.size
+    N = flux_norm.shape[0]
+    spec = NamedSharding(mesh, P((TIME_AXIS, TARGET_AXIS)))
+    rep = NamedSharding(mesh, P())
+
+    fn_np = np.asarray(flux_norm, np.float32)
+    padn = (-N) % n_dev
+    if padn:
+        fn_np = np.concatenate([fn_np, np.repeat(fn_np[-1:], padn, axis=0)])
+    fn_dev = jax.device_put(fn_np, spec)
+    good_dev = jax.device_put(np.asarray(good_time, bool), rep)
+
+    w, tv = jax.jit(jax.vmap(
+        lambda f: tvmin_weights(f, good_dev, objective=objective)))(fn_dev)
+    return w[:N], tv[:N]
+
+
 def extraction_step(images, images_err, backgrounds, pixelflags,
                     masks, r0s, c0s, time, quality, mesh, h: int, w: int):
     """One multi-chip extraction step: full light-curve products + metrics.

@@ -209,8 +209,23 @@ def test_worker_crash_respawn(prepared_dir, tmp_path, monkeypatch):
             "SELECT COUNT(*) FROM todolist WHERE status IS NULL "
             "OR status=6;").fetchone()[0]
         assert pending == 0, "crashed worker's lease was not reclaimed"
+        # No lost or duplicated diagnostics rows — exactly one per
+        # processed (non-skipped) task:
+        dup = conn.execute(
+            "SELECT COUNT(*) FROM (SELECT priority FROM diagnostics "
+            "GROUP BY priority HAVING COUNT(*) > 1);").fetchone()[0]
+        assert dup == 0, "duplicate diagnostics rows after crash recovery"
+        n_diag = conn.execute("SELECT COUNT(*) FROM diagnostics;").fetchone()[0]
+        n_done = conn.execute(
+            "SELECT COUNT(*) FROM todolist WHERE status IN (1, 2, 3);"
+        ).fetchone()[0]
+        assert n_diag >= n_done
     assert summary["OK"] + summary["WARNING"] + summary["SKIPPED"] >= \
         0.9 * summary["numtasks"]
+    # summary.json records the respawn:
+    assert summary["respawns"] >= 1
+    with open(os.path.join(d, "summary.json")) as fh:
+        assert json.load(fh)["respawns"] == summary["respawns"]
 
 
 @pytest.mark.mpi
