@@ -419,6 +419,8 @@ def main():
     # bridging); keep the driver log to the one JSON line:
     warnings.filterwarnings("ignore", message="Mean of empty slice")
     warnings.filterwarnings("ignore", message="All-NaN slice encountered")
+    warnings.filterwarnings("ignore",
+                            message="invalid value encountered in divide")
 
     sumimage, rows, cols, tmag = make_field()
     tpu = bench_tpu(sumimage, rows, cols, tmag)

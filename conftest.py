@@ -56,3 +56,6 @@ def _bound_jit_code_maps():
     yield
     if _n_memory_maps() > _MAPS_SOFT_LIMIT:
         jax.clear_caches()
+        # AOT-compiled PSF programs pin code maps outside jax's caches:
+        from photometry_tpu.utils import aot
+        aot.clear()

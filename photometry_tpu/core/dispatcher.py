@@ -182,6 +182,33 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
         method = task.get("method") or "aperture"
         by_method.setdefault(method, []).append(task)
 
+    # Fire background compiles for PSF-family groups before any group runs:
+    # their ~7-8 s per-shape program compiles (models/psf_fit.py) then
+    # overlap the aperture group's work instead of stalling the first PSF
+    # batch.  Compiles run on the compiler service, so this never contends
+    # for the (single-tenant) device.
+    if len(by_method) > 1:
+        import threading
+
+        def _safe_prefetch(fn, sids):
+            try:
+                fn(ctx, sids)
+            except Exception:  # pragma: no cover - prefetch is best-effort
+                logger.debug("PSF program prefetch failed", exc_info=True)
+
+        if "psf" in by_method:
+            from ..models.psf_fit import prefetch_psf_programs
+            threading.Thread(target=_safe_prefetch, args=(
+                prefetch_psf_programs,
+                [int(t["starid"]) for t in by_method["psf"]]),
+                daemon=True).start()
+        if "linpsf" in by_method:
+            from ..models.linpsf import prefetch_linpsf_programs
+            threading.Thread(target=_safe_prefetch, args=(
+                prefetch_linpsf_programs,
+                [int(t["starid"]) for t in by_method["linpsf"]]),
+                daemon=True).start()
+
     results = {}
     for method, group in by_method.items():
         sids = [int(t["starid"]) for t in group]

@@ -78,6 +78,40 @@ def linpsf_timeseries_batch(images, rows_t, cols_t, valid, prf, shape, S: int):
     return jax.vmap(one)(images, rows_t, cols_t, valid)
 
 
+def _lin_program(prf, n: int, T: int, bh: int, bw: int, S: int):
+    """(key, lower_thunk) of the AOT-compiled batch program for one chunk
+    shape (utils/aot.py)."""
+    key = ("linpsf", id(prf), n, T, bh, bw, S)
+
+    def lower():
+        sds = jax.ShapeDtypeStruct
+        return linpsf_timeseries_batch.lower(
+            sds((n, T, bh, bw), jnp.float32), sds((n, T, S), jnp.float32),
+            sds((n, T, S), jnp.float32), sds((n, S), bool),
+            prf=prf, shape=(bh, bw), S=S)
+
+    return key, lower
+
+
+def prefetch_linpsf_programs(ctx, starids, prf=None) -> None:
+    """Background-compile every chunk shape a later
+    :func:`extract_linpsf_batch` over these targets will need (see
+    psf_fit.prefetch_psf_programs)."""
+    from ..core.engine import _full_catalog_positions
+    from ..utils import aot
+    from .psf_common import bucket_psf_groups
+    from .psf_fit import _group_chunks
+    prf = context_prf(ctx, prf)
+    cat_all = _full_catalog_positions(ctx)
+    T = ctx.n_times
+    setups = [setup_psf_target(ctx, int(sid), cat_all) for sid in starids]
+    for (bh, bw), full_group in bucket_psf_groups(ctx, setups).items():
+        for group, _n in _group_chunks(full_group, T, bh, bw):
+            S = len(group[0][0].valid)
+            key, lower = _lin_program(prf, len(group), T, bh, bw, S)
+            aot.prefetch(key, lower, keepalive=prf)
+
+
 def extract_linpsf_batch(ctx, starids, prf=None, keep_diag: bool = False,
                          **_kw) -> list:
     """Linear PSF photometry for a batch of targets on one context.
@@ -97,6 +131,14 @@ def extract_linpsf_batch(ctx, starids, prf=None, keep_diag: bool = False,
 
     setups = [setup_psf_target(ctx, int(sid), cat_all) for sid in starids]
     groups = bucket_psf_groups(ctx, setups)
+
+    # Submit every chunk shape's compile up-front (see extract_psf_batch):
+    from ..utils import aot
+    for (bh, bw), full_group in groups.items():
+        for group, _n in _group_chunks(full_group, T, bh, bw):
+            S = len(group[0][0].valid)
+            key, lower = _lin_program(prf, len(group), T, bh, bw, S)
+            aot.prefetch(key, lower, keepalive=prf)
 
     results = {}
     for (bh, bw), full_group in groups.items():
@@ -126,10 +168,15 @@ def extract_linpsf_batch(ctx, starids, prf=None, keep_diag: bool = False,
             rows_t = np.moveaxis(rows_t, 0, 1)                          # (N, T, S)
             cols_t = np.moveaxis(cols_t, 0, 1)
 
-            out = linpsf_timeseries_batch(
-                imgs, jnp.asarray(rows_t, jnp.float32),
-                jnp.asarray(cols_t, jnp.float32), jnp.asarray(valid),
-                prf, (bh, bw), S)
+            lin_args = (imgs, jnp.asarray(rows_t, jnp.float32),
+                        jnp.asarray(cols_t, jnp.float32), jnp.asarray(valid))
+            key, lower = _lin_program(prf, len(group), T, bh, bw, S)
+            try:
+                out = aot.get(key, lower, keepalive=prf)(*lin_args)
+            except Exception:  # pragma: no cover - AOT is an optimisation
+                logger.exception("AOT-compiled linPSF program failed; "
+                                 "falling back to jit")
+                out = linpsf_timeseries_batch(*lin_args, prf, (bh, bw), S)
             fluxes = np.asarray(out["fluxes"], np.float64)              # (N, T, S)
 
             tr_b = np.array([st.target_row + (st.stamp[0] - r0)

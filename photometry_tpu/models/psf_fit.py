@@ -77,66 +77,57 @@ def make_psf_fitter(prf, shape, S: int, lhood_stat: str = "Gaussian_d",
             raise ValueError(f"Invalid statistic: '{lhood_stat}'")
         return 1.0 / jnp.maximum(var, 1e-9)
 
-    def analytic_jac(p, sw):
-        """Closed-form LM Jacobian for analytic PRFs: one pass of the
-        erf-product value+derivative evaluation instead of 3S jacfwd
-        forward renders (~4x fewer flops per LM iteration)."""
+    def model_and_jac(p):
+        """(model image, unweighted Jacobian pieces) from ONE PRF
+        evaluation.  The earlier formulation rendered the model and the
+        Jacobian through separate subgraphs (render + analytic/separable
+        jac), tripling the traced table-evaluation code per LM step; XLA
+        CSE merged most of it at runtime but the compile paid for the
+        redundancy (~40% of the 6.8 s table-path phase-2 compile)."""
         rows, cols, fluxes = _unpack(p, S)
-        rr = jnp.arange(h, dtype=jnp.float32)[:, None, None]
-        cc = jnp.arange(w, dtype=jnp.float32)[None, :, None]
-        drow = rr - rows[None, None, :]
-        dcol = cc - cols[None, None, :]
-        q, qy, qx = prf.pixel_fraction_grads(drow, dcol)
-        cut = drow ** 2 + dcol ** 2 < CUTOFF_RADIUS ** 2   # matches render()
-        q = jnp.where(cut, q, 0.0)
-        qy = jnp.where(cut, qy, 0.0)
-        qx = jnp.where(cut, qx, 0.0)
-        swg = sw.reshape(h, w, 1)
-        # resid = sw*(img0 - model); d model/d row_s = -flux_s * qy:
-        j_row = (swg * fluxes * qy).reshape(h * w, S)
-        j_col = (swg * fluxes * qx).reshape(h * w, S)
-        j_flux = (-swg * q).reshape(h * w, S)
-        return jnp.concatenate([j_row, j_col, j_flux], axis=1)
-
-    def separable_jac(p, sw):
-        """Closed-form LM Jacobian for calibrated-table PRFs: per-star
-        unit renders + Catmull-Rom position derivatives from the shared
-        axis slices (prf.render_separable_with_grads) instead of 3S
-        jacfwd forward renders."""
-        rows, cols, fluxes = _unpack(p, S)
-        q, qr, qc = prf.render_separable_with_grads(rows, cols, (h, w),
-                                                    CUTOFF_RADIUS)
-        # (S, h, w) -> (h, w, S):
-        q = jnp.moveaxis(q, 0, -1)
-        qr = jnp.moveaxis(qr, 0, -1)
-        qc = jnp.moveaxis(qc, 0, -1)
-        swg = sw.reshape(h, w, 1)
-        # resid = sw*(img0 - model); model = sum_s flux_s * q_s(row_s, col_s)
-        # and qr = d q_s / d row_s directly:
-        j_row = (-swg * fluxes * qr).reshape(h * w, S)
-        j_col = (-swg * fluxes * qc).reshape(h * w, S)
-        j_flux = (-swg * q).reshape(h * w, S)
-        return jnp.concatenate([j_row, j_col, j_flux], axis=1)
-
+        if prf.has_analytic_grads:
+            rr = jnp.arange(h, dtype=jnp.float32)[:, None, None]
+            cc = jnp.arange(w, dtype=jnp.float32)[None, :, None]
+            drow = rr - rows[None, None, :]
+            dcol = cc - cols[None, None, :]
+            q, qy, qx = prf.pixel_fraction_grads(drow, dcol)
+            cut = drow ** 2 + dcol ** 2 < CUTOFF_RADIUS ** 2
+            q = jnp.where(cut, q, 0.0)
+            qy = jnp.where(cut, qy, 0.0)
+            qx = jnp.where(cut, qx, 0.0)
+            # pixel_fraction_grads' qy is d q/d drow = -d q/d row_s:
+            qr, qc = -qy, -qx
+        elif prf._grid_separable:
+            q, qr, qc = prf.render_separable_with_grads(rows, cols, (h, w),
+                                                        CUTOFF_RADIUS)
+            q = jnp.moveaxis(q, 0, -1)                    # (h, w, S)
+            qr = jnp.moveaxis(qr, 0, -1)
+            qc = jnp.moveaxis(qc, 0, -1)
+        else:
+            return render(p), None
+        mdl = jnp.sum(q * fluxes[None, None, :], axis=-1)
+        return mdl, (q, qr, qc, fluxes)
 
     def fit(img, bkg, var_const, p0, valid):
         good = jnp.isfinite(img)
         img0 = jnp.nan_to_num(img)
 
         def step(p, _):
-            mdl = render(p)
+            mdl, pieces = model_and_jac(p)
             wmap = weights(img0, bkg, mdl, var_const) * good
             sw = jnp.sqrt(wmap).ravel()
-
-            def resid(pp):
-                return (sw * (img0 - render(pp)).ravel())
-
-            r = resid(p)
-            if prf.has_analytic_grads:
-                J = analytic_jac(p, sw)                   # (h*w, 3S)
-            elif prf._grid_separable:
-                J = separable_jac(p, sw)                  # (h*w, 3S)
+            r = sw * (img0 - mdl).ravel()
+            if pieces is not None:
+                q, qr, qc, fluxes = pieces
+                swg = sw.reshape(h, w, 1)
+                # resid = sw*(img0 - model); d model/d row_s = flux_s * qr:
+                j_row = (-swg * fluxes * qr).reshape(h * w, S)
+                j_col = (-swg * fluxes * qc).reshape(h * w, S)
+                j_flux = (-swg * q).reshape(h * w, S)
+                J = jnp.concatenate([j_row, j_col, j_flux], axis=1)
             else:
+                def resid(pp):
+                    return sw * (img0 - render(pp)).ravel()
                 J = jax.jacfwd(resid)(p)                  # (h*w, 3S)
             # Freeze parameters of dummy stars:
             par_valid = jnp.concatenate([valid, valid, valid]).astype(J.dtype)
@@ -159,13 +150,16 @@ def make_psf_fitter(prf, shape, S: int, lhood_stat: str = "Gaussian_d",
         # Flux covariance from the final Jacobian.  Dummy-star columns are
         # exactly zero, so regularise relative to the largest diagonal entry
         # (a plain inv of the near-singular matrix yields NaNs in f32):
-        mdl = render(p)
+        mdl, pieces = model_and_jac(p)
         wmap = weights(img0, bkg, mdl, var_const) * good
         sw = jnp.sqrt(wmap).ravel()
-        if prf.has_analytic_grads:
-            J = analytic_jac(p, sw)
-        elif prf._grid_separable:
-            J = separable_jac(p, sw)
+        if pieces is not None:
+            q, qr, qc, fluxes = pieces
+            swg = sw.reshape(h, w, 1)
+            J = jnp.concatenate(
+                [(-swg * fluxes * qr).reshape(h * w, S),
+                 (-swg * fluxes * qc).reshape(h * w, S),
+                 (-swg * q).reshape(h * w, S)], axis=1)
         else:
             J = jax.jacfwd(lambda pp: sw * (img0 - render(pp)).ravel())(p)
         JtJ = J.T @ J
@@ -270,6 +264,50 @@ def _group_chunks(group, T: int, bh: int, bw: int):
         yield chunk + [chunk[-1]] * (npad - n), n
 
 
+def _fit_program(prf, n: int, T: int, bh: int, bw: int, S: int,
+                 lhood_stat: str):
+    """(key, lower_thunk) of the AOT-compiled batch-fit program for one
+    chunk shape (utils/aot.py)."""
+    import jax
+    key = ("psf_fit", id(prf), n, T, bh, bw, S, lhood_stat)
+
+    def lower():
+        sds = jax.ShapeDtypeStruct
+        return fit_psf_timeseries_batch.lower(
+            sds((n, T, bh, bw), jnp.float32), sds((n, T, bh, bw), jnp.float32),
+            sds((), jnp.float32), sds((n, 3 * S), jnp.float32),
+            sds((n, S), bool), sds((n, bh, bw), bool), sds((n,), jnp.int32),
+            prf=prf, shape=(bh, bw), S=S, lhood_stat=lhood_stat)
+
+    return key, lower
+
+
+def prefetch_psf_programs(ctx, starids, lhood_stat: str = "Gaussian_d",
+                          prf=None) -> None:
+    """Kick off background compiles for every chunk shape a later
+    :func:`extract_psf_batch` over these targets will need.
+
+    Host-only (catalog setups + bucketing) plus compile submissions to the
+    AOT thread pool; safe to call from a daemon thread while other work
+    (e.g. the aperture group of the same task batch) runs — compiles happen
+    on the compiler service, not the device.  ~7-8 s of per-shape compile
+    then overlaps work the pipeline does anyway, instead of stalling the
+    first PSF batch (VERDICT r2 item 7).
+    """
+    from ..core.engine import _full_catalog_positions
+    from ..utils import aot
+    from .psf_common import bucket_psf_groups
+    prf = context_prf(ctx, prf)
+    cat_all = _full_catalog_positions(ctx)
+    T = ctx.n_times
+    setups = [setup_psf_target(ctx, int(sid), cat_all) for sid in starids]
+    for (bh, bw), full_group in bucket_psf_groups(ctx, setups).items():
+        for group, _n in _group_chunks(full_group, T, bh, bw):
+            S = len(group[0][0].valid)
+            key, lower = _fit_program(prf, len(group), T, bh, bw, S, lhood_stat)
+            aot.prefetch(key, lower, keepalive=prf)
+
+
 def extract_psf_batch(ctx, starids, lhood_stat: str = "Gaussian_d",
                       prf=None, keep_diag: bool = False, **_kw) -> list:
     """Nonlinear PSF photometry for a batch of targets on one context.
@@ -289,6 +327,16 @@ def extract_psf_batch(ctx, starids, lhood_stat: str = "Gaussian_d",
 
     setups = [setup_psf_target(ctx, int(sid), cat_all) for sid in starids]
     groups = bucket_psf_groups(ctx, setups)
+
+    # Submit every chunk shape's compile up-front: the ~7-8 s per-shape
+    # backend compiles then run concurrently with each other, with the
+    # host-side stamp prep below, and with execution of earlier chunks:
+    from ..utils import aot
+    for (bh, bw), full_group in groups.items():
+        for group, _n in _group_chunks(full_group, T, bh, bw):
+            S = len(group[0][0].valid)
+            key, lower = _fit_program(prf, len(group), T, bh, bw, S, lhood_stat)
+            aot.prefetch(key, lower, keepalive=prf)
 
     results = {}
     for (bh, bw), full_group in groups.items():
@@ -328,11 +376,17 @@ def extract_psf_batch(ctx, starids, lhood_stat: str = "Gaussian_d",
             target_idx = np.array([st.target_idx for st, _, _ in group],
                                   np.int32)
 
-            out = fit_psf_timeseries_batch(
-                imgs, bkgs, jnp.float32(var_const),
-                jnp.asarray(p0, jnp.float32), jnp.asarray(valid),
-                jnp.asarray(mini), jnp.asarray(target_idx), prf, (bh, bw), S,
-                lhood_stat)
+            fit_args = (imgs, bkgs, jnp.float32(var_const),
+                        jnp.asarray(p0, jnp.float32), jnp.asarray(valid),
+                        jnp.asarray(mini), jnp.asarray(target_idx))
+            key, lower = _fit_program(prf, len(group), T, bh, bw, S, lhood_stat)
+            try:
+                out = aot.get(key, lower, keepalive=prf)(*fit_args)
+            except Exception:  # pragma: no cover - AOT is an optimisation
+                logger.exception("AOT-compiled PSF program failed; "
+                                 "falling back to jit")
+                out = fit_psf_timeseries_batch(*fit_args, prf, (bh, bw), S,
+                                               lhood_stat)
             flux = np.asarray(out["flux"], np.float64)                  # (N, T)
             flux_err = np.asarray(out["flux_err"], np.float64)
             pos = np.asarray(out["pos"], np.float64)                    # (N, T, 2)
