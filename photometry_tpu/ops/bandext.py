@@ -83,20 +83,25 @@ def build_piece_patches(masks, r0s, c0s, shape) -> dict:
     never round-trip through the host) or host numpy.
 
     Returns dict with:
-      patches      (n_cells, M, BH*TW) float32 device array — mask + 2*window
+      patches      (n_cells, M, BH*TW) bfloat16 device array — mask + 2*window
+                   (values {0, 2, 3}: bf16-exact, halves the kernel's patch
+                   DMA traffic vs f32)
       piece_target (n_cells*M,) int32 — target index (N for padding slots)
       plus device-resident combine inputs: the target -> piece-row gather
       table (tp_idx_dev (N, P_max) int32 with tp_valid_dev weights) and
       per-piece cell origins (cell_row0_dev / cell_col0_dev (n_cells*M,)).
+
+    All host-side tables ship in ONE packed int32 upload (the axon tunnel
+    costs ~30 ms RTT per transfer; the previous 7 small uploads were ~70%
+    of the whole patch-build wall) and are unpacked by a single jitted
+    device program (:func:`_unpack_tables`).
     """
     if isinstance(masks, np.ndarray):
         masks_u8 = jnp.asarray(masks.astype(np.uint8))
-        mask_size = jnp.asarray(masks.reshape(masks.shape[0], -1)
-                                .sum(axis=1), jnp.float32)
     else:
         masks_u8 = masks.astype(jnp.uint8)
-        mask_size = jnp.sum(masks.reshape(masks.shape[0], -1)
-                            .astype(jnp.float32), axis=1)
+    mask_size = jnp.sum(masks_u8.reshape(masks_u8.shape[0], -1)
+                        .astype(jnp.float32), axis=1)
     r0s = np.asarray(r0s, np.int64)
     c0s = np.asarray(c0s, np.int64)
     N, h, w = masks.shape
@@ -129,16 +134,11 @@ def build_piece_patches(masks, r0s, c0s, shape) -> dict:
     piece_target[cell, slot] = tgt
     piece_dr[cell, slot] = r0s[tgt] - (cell // nbc) * BH
     piece_dc[cell, slot] = c0s[tgt] - (cell % nbc) * TW
-    cell_idx = np.arange(n_cells)
-    patches = _patches_device(
-        masks_u8,
-        jnp.asarray(piece_target.reshape(-1)),
-        jnp.asarray(piece_dr.reshape(-1)), jnp.asarray(piece_dc.reshape(-1)),
-        n_cells=n_cells, M=M)
     # Target -> flat-piece-row gather table for the combine step: each
     # target's <= P_max piece rows, zero-weight padded (combine multiplies
     # the gathered rows by tp_valid before summing, so the padding index
-    # value never leaks through).
+    # value never leaks through).  Padding slots carry -1 in the packed
+    # upload; the device unpack derives the validity weights from the sign.
     flat_rows = (cell * M + slot).astype(np.int64)
     order_t = np.argsort(tgt, kind="stable")
     rows_t = flat_rows[order_t]
@@ -147,27 +147,51 @@ def build_piece_patches(masks, r0s, c0s, shape) -> dict:
     P_max = max(int(cnt_t.max()) if len(cnt_t) else 1, 1)
     first_t = np.concatenate([[0], np.cumsum(cnt_t)[:-1]])
     slot_t = np.arange(len(tgt_t), dtype=np.int64) - first_t[tgt_t]
-    tp_idx = np.zeros((N, P_max), np.int32)
-    tp_valid = np.zeros((N, P_max), np.float32)
+    tp_idx = np.full((N, P_max), -1, np.int64)
     tp_idx[tgt_t, slot_t] = rows_t
-    tp_valid[tgt_t, slot_t] = 1.0
-    # Device-resident copies of the combine-step inputs, so per-time-block
-    # extraction calls involve no host<->device transfers (the axon tunnel
-    # RTT per transfer would otherwise dominate streamed extraction):
+    # ONE host->device upload for every table, then one jitted unpack
+    # (cell origins are pure arithmetic on the piece index — no upload):
+    packed = jnp.asarray(np.concatenate([
+        piece_target.reshape(-1).astype(np.int32),
+        piece_dr.reshape(-1).astype(np.int32),
+        piece_dc.reshape(-1).astype(np.int32),
+        tp_idx.reshape(-1).astype(np.int32),
+    ]))
+    (pt_dev, pdr_dev, pdc_dev, tp_idx_dev, tp_valid_dev,
+     cell_row0_dev, cell_col0_dev) = _unpack_tables(
+        packed, n_cells=n_cells, M=M, nbc=nbc, N=N, P_max=P_max)
+    patches = _patches_device(masks_u8, pt_dev, pdr_dev, pdc_dev,
+                              n_cells=n_cells, M=M)
     return {
         "patches": patches,
         "piece_target": piece_target.reshape(-1),
-        "tp_idx_dev": jnp.asarray(tp_idx),
-        "tp_valid_dev": jnp.asarray(tp_valid),
-        "cell_row0_dev": jnp.asarray(
-            np.repeat((cell_idx // nbc) * BH, M), jnp.float32),
-        "cell_col0_dev": jnp.asarray(
-            np.repeat((cell_idx % nbc) * TW, M), jnp.float32),
+        "tp_idx_dev": tp_idx_dev,
+        "tp_valid_dev": tp_valid_dev,
+        "cell_row0_dev": cell_row0_dev,
+        "cell_col0_dev": cell_col0_dev,
         "mask_size_dev": mask_size,
         "n_targets": N,
         "M": M,
         "P_max": P_max,
     }
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_cells", "M", "nbc", "N", "P_max"))
+def _unpack_tables(packed, n_cells: int, M: int, nbc: int,
+                   N: int, P_max: int):
+    """Split the single packed int32 upload into the device-side tables."""
+    P = n_cells * M
+    pt = packed[:P]
+    pdr = packed[P:2 * P]
+    pdc = packed[2 * P:3 * P]
+    tp = packed[3 * P:3 * P + N * P_max].reshape(N, P_max)
+    tp_valid = (tp >= 0).astype(jnp.float32)
+    tp_idx = jnp.maximum(tp, 0)
+    i = jnp.arange(P, dtype=jnp.int32) // M
+    cell_row0 = ((i // nbc) * BH).astype(jnp.float32)
+    cell_col0 = ((i % nbc) * TW).astype(jnp.float32)
+    return pt, pdr, pdc, tp_idx, tp_valid, cell_row0, cell_col0
 
 
 @functools.partial(jax.jit, static_argnames=("n_cells", "M"))
@@ -178,21 +202,26 @@ def _patches_device(masks_u8, piece_target, piece_dr, piece_dc,
     patch[p, r, l] = 2*window + mask, where window = stamp covers cell pixel
     (r, l) and mask = masks[target, r - dr, l - dc].  The (dr, dc) placement
     runs as two one-hot batched matmuls on the MXU — a naive XLA gather of
-    the ~1 GB patch tensor is ~20x slower on TPU.
+    the ~1 GB patch tensor is ~20x slower on TPU.  Everything is bf16:
+    one-hot x {0,1} products have at most one nonzero term per output, so
+    the matmuls are exact, and the output values {0, 2, 3} are bf16-exact —
+    measured ~25% faster than the f32 formulation and half the HBM.
     """
     N, h, w = masks_u8.shape
-    msel = masks_u8[piece_target.clip(0, N - 1)].astype(jnp.float32)  # (P,h,w)
+    msel = masks_u8[piece_target.clip(0, N - 1)].astype(jnp.bfloat16)  # (P,h,w)
     r_idx = jnp.arange(BH, dtype=jnp.int32)[None, :, None]
     l_idx = jnp.arange(TW, dtype=jnp.int32)[None, None, :]
     dr = piece_dr[:, None, None]
     dc = piece_dc[:, None, None]
     rowoh = (r_idx - dr == jnp.arange(h, dtype=jnp.int32)[None, None, :])
     coloh = (jnp.arange(w, dtype=jnp.int32)[None, :, None] + dc == l_idx)
-    tmp = jnp.einsum("pri,pij->prj", rowoh.astype(jnp.float32), msel)
-    patch = jnp.einsum("prj,pjl->prl", tmp, coloh.astype(jnp.float32))
+    tmp = jnp.einsum("pri,pij->prj", rowoh.astype(jnp.bfloat16), msel,
+                     preferred_element_type=jnp.bfloat16)
+    patch = jnp.einsum("prj,pjl->prl", tmp, coloh.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.bfloat16)
     win = ((r_idx >= dr) & (r_idx < dr + h) & (l_idx >= dc) & (l_idx < dc + w)
            & (piece_target[:, None, None] < N))
-    out = jnp.where(win, 2.0 + patch, 0.0)
+    out = jnp.where(win, jnp.bfloat16(2) + patch, jnp.bfloat16(0))
     return out.reshape(n_cells, M, BH * TW)
 
 
@@ -232,11 +261,18 @@ def _band_kernel(img_ref, err_ref, bkg_ref, flg_ref, p_ref, out_ref):
       (``pm * l`` <= 127 is bf16-exact) so they reuse the one split of ``rx``
       instead of building two extra (T_b, K) f32 temporaries.
 
-    22 passes total vs 60 for the original all-``Precision.HIGHEST``
-    formulation — measured ~2x kernel wall-clock on v5e (docs/performance.md).
+    22 equivalent passes vs 60 for the original all-``Precision.HIGHEST``
+    formulation (~2x kernel wall-clock on v5e); the passes are FUSED into 8
+    dot_generals by concatenating related operands — the 3 moment patches
+    (pm / pm*l / pm*r) stack on the M axis against the shared rx split, and
+    the value / count operand groups stack on the T axis against the shared
+    patch — bit-identical, ~6% fewer kernel cycles than 10 separate dots
+    (fewer launches + fewer (T_b, K) temporaries).  The patch ref arrives
+    bfloat16 ({0, 2, 3}: exact, half the DMA traffic of the f32 layout).
     """
     K = BH * TW
-    x = img_ref[...].reshape(img_ref.shape[0], K).astype(jnp.float32)  # (T_b, K)
+    Tb = img_ref.shape[0]
+    x = img_ref[...].reshape(Tb, K).astype(jnp.float32)  # (T_b, K)
     fin = jnp.isfinite(x)
     x0 = jnp.where(fin, x, 0.0)
     rx = jnp.maximum(x0, 0.0)
@@ -248,39 +284,52 @@ def _band_kernel(img_ref, err_ref, bkg_ref, flg_ref, p_ref, out_ref):
     sh = (flg_ref[...].reshape(x.shape)
           & PixelQualityFlags.BackgroundShenanigans) != 0
 
-    p2 = p_ref[0]                                  # (M, K) in {0, 2, 3}
-    pm = jnp.maximum(p2 - 2.0, 0.0)                # mask patch
-    pmb = pm.astype(jnp.bfloat16)
-    pwb = jnp.minimum(p2, 1.0).astype(jnp.bfloat16)  # window patch
+    p2 = p_ref[0]                                    # (M, K) bf16 {0, 2, 3}
+    M = p2.shape[0]
+    pmb = jnp.maximum(p2 - 2, 0).astype(jnp.bfloat16)   # mask patch
+    pwb = jnp.minimum(p2, 1).astype(jnp.bfloat16)       # window patch
     # lane/row index folded into the patch (values <= 127: bf16-exact);
     # Mosaic iota must be integer-typed:
     k_io = jax.lax.broadcasted_iota(jnp.int32, p2.shape, 1)
-    pm_l = (pm * (k_io % TW).astype(jnp.float32)).astype(jnp.bfloat16)
-    pm_r = (pm * (k_io // TW).astype(jnp.float32)).astype(jnp.bfloat16)
+    pmf = pmb.astype(jnp.float32)
+    pm_l = (pmf * (k_io % TW).astype(jnp.float32)).astype(jnp.bfloat16)
+    pm_r = (pmf * (k_io // TW).astype(jnp.float32)).astype(jnp.bfloat16)
 
     def red1(patch_bf, op_bf):                     # one bf16 pass, f32 accum
         return jax.lax.dot_general(
             patch_bf, op_bf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)    # (M, T_b)
+            preferred_element_type=jnp.float32)
 
-    def red3(patch_bf, parts):                     # exact f32 via 3 bf16 passes
-        return red1(patch_bf, parts[0]) + red1(patch_bf, parts[1]) \
-            + red1(patch_bf, parts[2])
-
+    # moments: (3M, K) stacked patch x the shared split of rx -> (3M, T_b)
+    L2 = jnp.concatenate([pmb, pm_l, pm_r], axis=0)
     rx3 = _split3(rx)
+    G2 = red1(L2, rx3[0]) + red1(L2, rx3[1]) + red1(L2, rx3[2])
+    # values: pm x (3T_b, K) stacked split terms of [x0 | e^2 | b0]
+    xs = _split3(x0)
+    es = _split3(e0 * e0)
+    bs = _split3(b0)
+    G1 = (red1(pmb, jnp.concatenate([xs[0], es[0], bs[0]], axis=0))
+          + red1(pmb, jnp.concatenate([xs[1], es[1], bs[1]], axis=0))
+          + red1(pmb, jnp.concatenate([xs[2], es[2], bs[2]], axis=0)))
+    # counts: pm x (3T_b, K) stacked 0/1 operands [finite | zero | bkg-finite]
+    G3 = red1(pmb, jnp.concatenate([fin.astype(jnp.bfloat16),
+                                    (x == 0).astype(jnp.bfloat16),
+                                    finb.astype(jnp.bfloat16)], axis=0))
+    G4 = red1(pwb, sh.astype(jnp.bfloat16))
+
     # Piece-major output layout (1, M, NQ, T_b): each piece's NQ x T_b row
     # block is contiguous, which makes the combine step's target gather read
     # whole rows instead of scattered elements.
-    out_ref[0, :, 0, :] = red3(pmb, _split3(x0))                  # flux total
-    out_ref[0, :, 1, :] = red1(pmb, fin.astype(jnp.bfloat16))     # n finite
-    out_ref[0, :, 2, :] = red1(pmb, (x == 0).astype(jnp.bfloat16))  # n zero
-    out_ref[0, :, 3, :] = red3(pmb, rx3)                          # wsum
-    out_ref[0, :, 4, :] = red3(pm_l, rx3)                         # col moment
-    out_ref[0, :, 5, :] = red3(pm_r, rx3)                         # row moment
-    out_ref[0, :, 6, :] = red3(pmb, _split3(e0 * e0))             # err^2
-    out_ref[0, :, 7, :] = red3(pmb, _split3(b0))                  # bkg sum
-    out_ref[0, :, 8, :] = red1(pmb, finb.astype(jnp.bfloat16))    # bkg n
-    out_ref[0, :, 9, :] = red1(pwb, sh.astype(jnp.bfloat16))      # shenanigans
+    out_ref[0, :, 0, :] = G1[:, :Tb]                # flux total
+    out_ref[0, :, 1, :] = G3[:, :Tb]                # n finite
+    out_ref[0, :, 2, :] = G3[:, Tb:2 * Tb]          # n zero
+    out_ref[0, :, 3, :] = G2[:M]                    # wsum
+    out_ref[0, :, 4, :] = G2[M:2 * M]               # col moment
+    out_ref[0, :, 5, :] = G2[2 * M:]                # row moment
+    out_ref[0, :, 6, :] = G1[:, Tb:2 * Tb]          # err^2
+    out_ref[0, :, 7, :] = G1[:, 2 * Tb:]            # bkg sum
+    out_ref[0, :, 8, :] = G3[:, 2 * Tb:]            # bkg n
+    out_ref[0, :, 9, :] = G4                        # shenanigans
 
 
 @functools.partial(jax.jit, static_argnames=("t_block", "interpret"))
