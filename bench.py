@@ -413,8 +413,46 @@ def bench_reference_numpy(sumimage, rows, cols, n_targets=2, h=STAMP, w=STAMP):
     return N / dt
 
 
+def _wait_for_device(total_wait_s=1500, probe_timeout_s=120):
+    """Block until ``jax.devices()`` responds; ride out transient tunnel
+    outages instead of hanging the whole bench.
+
+    On the axon backend the first ``jax.devices()`` call can sleep
+    *indefinitely* while the TPU tunnel is down (observed: a bench run
+    parked in a claim-retry loop for 25+ minutes with zero progress, which
+    would eat the driver's entire timeout and record no result).  Probing
+    in a subprocess keeps the hang killable; a successful probe exits
+    immediately, releasing the single-tenant device before the real run.
+    """
+    import os
+    import subprocess
+    deadline = time.time() + total_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, capture_output=True,
+                env=dict(os.environ))
+            if proc.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            sys.stderr.write(
+                "bench.py: device backend unreachable after %d probe(s) over "
+                "%.0f s (TPU tunnel down?) — aborting instead of hanging.\n"
+                % (attempt, total_wait_s))
+            sys.exit(2)
+        sys.stderr.write("bench.py: device probe %d failed; retrying "
+                         "(tunnel outage?)\n" % attempt)
+        time.sleep(30)
+
+
 def main():
     import warnings
+    _wait_for_device()
     # nanmean/nanmedian of all-NaN tiles is expected (excluded-tile
     # bridging); keep the driver log to the one JSON line:
     warnings.filterwarnings("ignore", message="Mean of empty slice")
