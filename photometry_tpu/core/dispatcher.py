@@ -185,11 +185,12 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
     # Fire background compiles for PSF-family groups before any group runs:
     # their ~7-8 s per-shape program compiles (models/psf_fit.py) then
     # overlap the aperture group's work instead of stalling the first PSF
-    # batch.  Compiles run on the compiler service, so this never contends
-    # for the (single-tenant) device.
+    # batch.  The prefetch call itself is cheap host work (catalog setups +
+    # submissions to the utils/aot thread pool, where the actual compiles
+    # run in the background) and MUST stay on this thread: the context's
+    # sqlite catalog connection is thread-bound, so a worker thread's
+    # catalog query would raise and silently kill the whole prefetch.
     if len(by_method) > 1:
-        import threading
-
         def _safe_prefetch(fn, sids):
             try:
                 fn(ctx, sids)
@@ -198,16 +199,12 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
 
         if "psf" in by_method:
             from ..models.psf_fit import prefetch_psf_programs
-            threading.Thread(target=_safe_prefetch, args=(
-                prefetch_psf_programs,
-                [int(t["starid"]) for t in by_method["psf"]]),
-                daemon=True).start()
+            _safe_prefetch(prefetch_psf_programs,
+                           [int(t["starid"]) for t in by_method["psf"]])
         if "linpsf" in by_method:
             from ..models.linpsf import prefetch_linpsf_programs
-            threading.Thread(target=_safe_prefetch, args=(
-                prefetch_linpsf_programs,
-                [int(t["starid"]) for t in by_method["linpsf"]]),
-                daemon=True).start()
+            _safe_prefetch(prefetch_linpsf_programs,
+                           [int(t["starid"]) for t in by_method["linpsf"]])
 
     results = {}
     for method, group in by_method.items():

@@ -30,21 +30,39 @@ DUMMY_POS = -1000.0
 
 def context_prf(ctx, prf: Optional[PRF] = None) -> PRF:
     """The PRF to use for a context: calibrated table if present, else
-    an integrated-Gaussian (sigma from the PSFSIGMA header when available)."""
+    an integrated-Gaussian (sigma from the PSFSIGMA header when available).
+
+    Memoized on the context: PRF instances hash by identity, so every
+    consumer of one context MUST see the same object — the jitted batch
+    programs take the PRF as a static argument (a fresh instance per batch
+    would retrace/recompile every call), and the AOT prefetch cache keys on
+    ``id(prf)`` (a fresh instance would make prefetched programs
+    unconsumable).
+    """
     if prf is not None:
         return prf
+    cached = getattr(ctx, "_context_prf", None)
+    if cached is not None:
+        return cached
     from ..io.settings import data_dir
     import os
+    built = None
     psf_dir = os.path.join(data_dir(), "psf")
     if os.path.isdir(psf_dir):
         try:
             h, w = ctx.shape
-            return PRF.from_mat(psf_dir, max(ctx.sector, 1), ctx.camera, ctx.ccd,
-                                (0, h, 0, w))
+            built = PRF.from_mat(psf_dir, max(ctx.sector, 1), ctx.camera,
+                                 ctx.ccd, (0, h, 0, w))
         except FileNotFoundError:
             pass
-    sigma = float(ctx.header.get("PSFSIGMA", 1.25)) if hasattr(ctx, "header") else 1.25
-    return PRF.gaussian(sigma=sigma)
+    if built is None:
+        sigma = float(ctx.header.get("PSFSIGMA", 1.25)) if hasattr(ctx, "header") else 1.25
+        built = PRF.gaussian(sigma=sigma)
+    try:
+        ctx._context_prf = built
+    except AttributeError:  # exotic read-only context objects
+        pass
+    return built
 
 
 @dataclass

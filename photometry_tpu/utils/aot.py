@@ -13,15 +13,17 @@ earlier chunks — and the compiled executables are cached process-wide, keyed
 by (function, PRF identity, shape tuple).
 
 Used by models/psf_fit.py and models/linpsf.py; the dispatcher additionally
-fires a prefetch thread for PSF task groups before the aperture group runs,
-so by the time the PSF group starts its programs are usually ready.
+calls the per-model prefetch helpers for PSF task groups before the aperture
+group runs, so by the time the PSF group starts its programs are usually
+ready.
 """
 
 from __future__ import annotations
 
 import logging
+import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import Future
 
 logger = logging.getLogger(__name__)
 
@@ -33,11 +35,42 @@ _keepalive: dict = {}
 _lock = threading.Lock()
 
 
-def _get_executor() -> ThreadPoolExecutor:
+class _DaemonPool:
+    """Tiny Future-returning pool of DAEMON threads.
+
+    concurrent.futures.ThreadPoolExecutor joins its (non-daemon) workers at
+    interpreter exit: one compile wedged on a dead remote-compiler service
+    would then hang process shutdown forever (the tunnel dropping mid-
+    compile is a real failure mode here — see bench._wait_for_device).
+    Daemon workers let the process exit with compiles still in flight.
+    """
+
+    def __init__(self, n_workers: int, name: str):
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        for i in range(n_workers):
+            threading.Thread(target=self._run, name=f"{name}-{i}",
+                             daemon=True).start()
+
+    def _run(self):
+        while True:
+            fut, fn = self._q.get()
+            if not fut.set_running_or_notify_cancel():
+                continue
+            try:
+                fut.set_result(fn())
+            except BaseException as exc:  # delivered via fut.result()
+                fut.set_exception(exc)
+
+    def submit(self, fn) -> Future:
+        fut: Future = Future()
+        self._q.put((fut, fn))
+        return fut
+
+
+def _get_executor() -> _DaemonPool:
     global _executor
     if _executor is None:
-        _executor = ThreadPoolExecutor(max_workers=3,
-                                       thread_name_prefix="aot-compile")
+        _executor = _DaemonPool(3, "aot-compile")
     return _executor
 
 

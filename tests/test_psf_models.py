@@ -246,3 +246,28 @@ def test_table_prf_closed_form_jacobian_matches_jacfwd():
     # truth recovery (MOMF-corrected flux ~ injected):
     ratio = np.asarray(out_new["flux"]).mean(axis=1) / np.asarray(fx_true[:, 0])
     assert np.all((ratio > 0.95) & (ratio < 1.05)), ratio
+
+
+def test_context_prf_memoized_and_prefetch_consumable(psf_setup):
+    """The prefetch pipeline regression (round 3): context_prf must return
+    the SAME object per context (the jitted programs key statically on PRF
+    identity, and the AOT cache keys on id(prf)), and a prefetch from the
+    dispatcher thread must produce entries a later extract_psf_batch
+    actually consumes."""
+    from photometry_tpu.models.psf_common import context_prf
+    from photometry_tpu.models.psf_fit import prefetch_psf_programs
+    from photometry_tpu.utils import aot
+    sim, ctx = psf_setup
+    assert context_prf(ctx) is context_prf(ctx)
+
+    aot.clear()
+    sids = [int(s) for s in sim.starid[:3]]
+    prefetch_psf_programs(ctx, sids)
+    keys_before = set(aot._futures)
+    assert keys_before, "prefetch submitted no compiles"
+    from photometry_tpu.models.psf_fit import extract_psf_batch
+    results = extract_psf_batch(ctx, sids)
+    assert len(results) == 3
+    # extraction reused the prefetched programs instead of adding new keys:
+    assert set(aot._futures) == keys_before
+    aot.clear()
