@@ -791,6 +791,7 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         cm_istgt = np.zeros((len(ok_targets), K), bool)
         cm_trow = np.zeros(len(ok_targets), np.float32)
         cm_tcol = np.zeros(len(ok_targets), np.float32)
+        cm_tflux = np.zeros(len(ok_targets), np.float32)
         for i, t in enumerate(ok_targets):
             c = t["cat"]
             s = t["clipped"]
@@ -801,13 +802,17 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             cm_istgt[i] = c["valid"] & (c["starid"] == t["starid"])
             cm_trow[i] = t["row"] - r0s[i]
             cm_tcol[i] = t["col"] - c0s[i]
+            # the target's own flux, independent of the K slot tables (it
+            # may have been dropped from them in a >K-star stamp):
+            cm_tflux[i] = float(mag2flux(t["target"].get("tmag", np.nan)))
         psf_sigma = float(getattr(ctx, "header", {}).get("PSFSIGMA", 1.25)
                           or 1.25)
         crowding = crowding_metrics_batch(
             jnp.asarray(masks_f), jnp.asarray(cm_row), jnp.asarray(cm_col),
             jnp.asarray(cm_flux), jnp.asarray(cm_valid),
             jnp.asarray(cm_istgt), jnp.asarray(cm_trow),
-            jnp.asarray(cm_tcol), jnp.float32(psf_sigma))
+            jnp.asarray(cm_tcol), jnp.asarray(cm_tflux),
+            jnp.float32(psf_sigma))
         crowding = {k: np.asarray(v) for k, v in crowding.items()}
 
     for i, t in enumerate(ok_targets):

@@ -24,7 +24,7 @@ __all__ = ["compute_metrics", "compute_metrics_batch",
 
 @functools.partial(jax.jit, static_argnames=())
 def crowding_metrics_batch(masks, cat_row, cat_col, cat_flux, cat_valid,
-                           is_target, t_row, t_col, sigma):
+                           is_target, t_row, t_col, t_flux, sigma):
     """PSF-flux completeness and crowding of aperture masks, batched.
 
     The magnitude-sum contamination the reference reports
@@ -46,6 +46,13 @@ def crowding_metrics_batch(masks, cat_row, cat_col, cat_flux, cat_valid,
         cat_valid: (N, K) slot validity; is_target: (N, K) the target's slot.
         t_row/t_col: (N,) target position (used directly — the target may
             fall outside the K catalog slots in crowded fields).
+        t_flux: (N,) the target's own catalog flux (e-/s).  Passed
+            explicitly for the same reason as the position: in a stamp with
+            more stars than K slots the target itself may have been dropped
+            from the slot tables, and inferring it from the slots (an
+            earlier revision substituted the brightest valid neighbour's
+            flux) double-counts that neighbour and corrupts CROWDSAP in
+            exactly the crowded fields the metric exists for.
         sigma: scalar PSF width in pixels.
 
     The per-star masked PSF sum is separable:
@@ -74,9 +81,6 @@ def crowding_metrics_batch(masks, cat_row, cat_col, cat_flux, cat_valid,
     s_t = jnp.einsum("nh,nhw,nw->n", ety, masks, etx,
                      precision=jax.lax.Precision.HIGHEST)
 
-    t_flux = jnp.sum(jnp.where(is_target, cat_flux, 0.0), axis=1)
-    t_flux = jnp.where(t_flux > 0, t_flux,
-                       jnp.max(jnp.where(cat_valid, cat_flux, 0.0), axis=1))
     neigh = jnp.sum(jnp.where(is_target, 0.0, cat_flux * s_k), axis=1)
     own = t_flux * s_t
     total = own + neigh

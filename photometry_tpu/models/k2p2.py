@@ -372,52 +372,11 @@ def build_mask(sumimage, cat_col, cat_row, cat_tmag, cat_starid, cat_valid,
         blurred = jnp.where(above2, jnp.nan_to_num(sumimage), 0.0)
         seg = jnp.where(above2, labels, 0)
 
-    # Mask of the main target = basin containing its rounded position:
-    tr = jnp.clip(jnp.round(target_row).astype(jnp.int32), 0, H - 1)
-    tc = jnp.clip(jnp.round(target_col).astype(jnp.int32), 0, W - 1)
-    main_label = seg[tr, tc]
-    mask_main = (seg == main_label) & (main_label > 0)
-    mask_size0 = jnp.sum(mask_main)
-    found = (main_label > 0) & (mask_size0 >= params.min_no_pixels_in_mask) & any_flux
-
-    # Hole filling:
-    mask_main = _fill_holes_4(mask_main)
-
-    # Overflow-lane extension (only when combined mask mag is saturated):
-    yy, xx = jnp.mgrid[0:H, 0:W]
-    cat_r = jnp.clip(jnp.round(cat_row).astype(jnp.int32), 0, H - 1)
-    cat_c = jnp.clip(jnp.round(cat_col).astype(jnp.int32), 0, W - 1)
-    star_inside = cat_valid & (jnp.round(cat_row) >= 0) & (jnp.round(cat_row) <= H - 1) \
-        & (jnp.round(cat_col) >= 0) & (jnp.round(cat_col) <= W - 1)
-    star_in_mask = star_inside & mask_main[cat_r, cat_c]
-    flux_sum = jnp.sum(jnp.where(star_in_mask, 10 ** (-0.4 * cat_tmag), 0.0))
-    mags_total = jnp.where(flux_sum > 0, -2.5 * jnp.log10(flux_sum), jnp.inf)
-    if params.extend_overflow:
-        mask_ext = _saturated_column_extension(sumimage, mask_main, above, mags_total, params)
-        mask_main = jnp.where(found, mask_ext, mask_main)
-
-    # Minimum-aperture fallback (2x2 around the target, collected only):
-    min_ap = ((jnp.abs(xx.astype(jnp.float32) - target_col) <= 1)
-              & (jnp.abs(yy.astype(jnp.float32) - target_row) <= 1)
-              & collected)
-    mask = jnp.where(found, mask_main, min_ap)
-
-    # Edge contact flags [bottom, top, left, right]:
-    edge = jnp.stack([jnp.any(mask[0, :]), jnp.any(mask[-1, :]),
-                      jnp.any(mask[:, 0]), jnp.any(mask[:, -1])])
-
-    in_mask = star_inside & mask[cat_r, cat_c]
-
-    out = {
-        "mask": mask,
-        "found_mask": found,
-        "no_flux": ~any_flux,
-        "edge": edge,
-        "cut": cut,
-        "bandwidth": bw,
-        "in_mask": in_mask,
-        "mask_size": jnp.sum(mask),
-    }
+    # Main-basin pick, hole fill, overflow extension, fallback and flags —
+    # shared with the batch pipeline so the two paths cannot diverge:
+    out = _mask_tail(sumimage, seg, above, any_flux, cut, bw, cat_col,
+                     cat_row, cat_tmag, cat_valid, target_row, target_col,
+                     collected, params)
     if debug:
         # Intermediate images for the K2P2 5-panel diagnostic figure
         # (k2p2v2.py:664-744): thresholded pixels, DBSCAN labels, watershed

@@ -67,9 +67,15 @@ def _write_mp4(frames, out: str, fps: int) -> str:
          "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", str(fps), "-i", "-",
          "-an", "-vcodec", "libx264", "-pix_fmt", "yuv420p", out],
         stdin=subprocess.PIPE)
-    for f in frames:
-        proc.stdin.write(np.asarray(f)[:h, :w].tobytes())
-    proc.stdin.close()
+    try:
+        for f in frames:
+            proc.stdin.write(np.asarray(f)[:h, :w].tobytes())
+        proc.stdin.close()
+    except BrokenPipeError:
+        # encoder exited early (missing libx264, bad output path, ...):
+        # fall through to the exit-status check for a clear error instead
+        # of an opaque pipe traceback.
+        pass
     if proc.wait() != 0:
         raise RuntimeError(f"ffmpeg failed encoding {out}")
     return out

@@ -65,10 +65,12 @@ def masked_median(x, good, iters: int = 33, min_bisect: int = 256):
     formulation runs at VPU streaming bandwidth in O(1) extra memory (same
     technique as ops.filters._median_block).  Axes shorter than
     ``min_bisect`` fall back to ``nanmedian`` (the sort is cheaper than 33
-    count passes).
+    count passes).  The bit-pattern bisection is float32-specific; float64
+    inputs (possible only under jax x64 mode) take the exact ``nanmedian``
+    sort path rather than being silently quantised to f32.
     """
     x = jnp.asarray(x)
-    if x.shape[-1] < min_bisect:
+    if x.shape[-1] < min_bisect or x.dtype == jnp.float64:
         return jnp.nanmedian(jnp.where(good, x, jnp.nan), axis=-1)
     n = jnp.sum(good, axis=-1)
     k1 = (n + 1) // 2          # 1-based rank of the lower middle

@@ -136,6 +136,8 @@ def test_blended_pair_flux_capture():
             jnp.asarray([[True, True] + [False] * (K - 2)]),
             jnp.asarray([[which == 0, which == 1] + [False] * (K - 2)]),
             jnp.asarray([r], jnp.float32), jnp.asarray([c], jnp.float32),
+            jnp.asarray([stars_all[i][which][2] * 2 * np.pi * SIGMA ** 2],
+                        jnp.float32),
             jnp.float32(SIGMA))
         completeness = float(cm["completeness"][0])
         # metric must not overstate capture by more than 15 percentage pts
@@ -159,3 +161,26 @@ def test_blended_pair_flux_capture():
     for sep in (5.0, 6.5, 8.0, 10.0):
         assert worst[(sep, 1.0)] > 0.55, \
             f"equal pair at {sep}px keeps only {worst[(sep, 1.0)]:.0%}"
+
+
+def test_crowdsap_with_target_dropped_from_slots():
+    """A target absent from the K catalog slots (>K-star stamp) must still
+    get a correct CROWDSAP from its explicit flux — an earlier revision
+    substituted the brightest neighbour's flux, double-counting it."""
+    from photometry_tpu.core.metrics import crowding_metrics_batch
+    h = w = 15
+    mask = np.zeros((1, h, w), np.float32)
+    mask[0, 5:10, 5:10] = 1.0
+    # one bright NEIGHBOUR in the slots; the faint target is NOT in them:
+    cm = crowding_metrics_batch(
+        jnp.asarray(mask),
+        jnp.asarray([[7.0]], jnp.float32),      # neighbour row
+        jnp.asarray([[7.0]], jnp.float32),      # neighbour col (same pixel)
+        jnp.asarray([[1000.0]], jnp.float32),   # neighbour flux
+        jnp.asarray([[True]]),
+        jnp.asarray([[False]]),                 # target not a slot
+        jnp.asarray([7.0], jnp.float32), jnp.asarray([7.0], jnp.float32),
+        jnp.asarray([1000.0], jnp.float32),     # target flux == neighbour's
+        jnp.float32(1.1))
+    # identical co-located fluxes -> the target owns exactly half the light:
+    assert abs(float(cm["crowdsap"][0]) - 0.5) < 1e-3

@@ -132,7 +132,7 @@ def run_one(it: int, cfg: SimConfig, keep: bool = False):
             rc = main(argv)
             if rc != 0:
                 viol("I1_cli_exit", stage=name, rc=rc)
-                return violations
+                return violations, {}
 
         with sqlite3.connect(os.path.join(d, "todo.sqlite")) as conn:
             conn.row_factory = sqlite3.Row
