@@ -124,6 +124,14 @@ def run_one(it: int, cfg: SimConfig, keep: bool = False):
         sim = simulate_sector(cfg)
         sim.write_ffis(d)
         sim.write_catalog(d)
+        # ~half the iterations also exercise the TPF datasource (primary +
+        # possible secondaries, separate cadence tree, quality transfer):
+        rng_t = np.random.default_rng(cfg.seed + 31)
+        if rng_t.uniform() < 0.5:
+            side = int(rng_t.choice([11, 13, 17]))
+            for sid in sim.starid[:int(rng_t.integers(1, 3))]:
+                sim.write_tpf(d, int(sid), stamp=(side, side),
+                              n_times=int(rng_t.integers(20, 60)))
         for name, main, argv in (
                 ("prepare", prepare_cmd.main, ["-q", d]),
                 ("todo", todo_cmd.main, ["-q", d]),
@@ -137,9 +145,9 @@ def run_one(it: int, cfg: SimConfig, keep: bool = False):
         with sqlite3.connect(os.path.join(d, "todo.sqlite")) as conn:
             conn.row_factory = sqlite3.Row
             rows = conn.execute(
-                "SELECT t.priority, t.starid, t.status, t.tmag, d.mean_flux, "
-                "d.contamination, d.mask_size, d.lightcurve, d.method_used "
-                "FROM todolist t LEFT JOIN diagnostics d "
+                "SELECT t.priority, t.starid, t.status, t.tmag, t.datasource, "
+                "d.mean_flux, d.contamination, d.mask_size, d.lightcurve, "
+                "d.method_used FROM todolist t LEFT JOIN diagnostics d "
                 "ON d.priority = t.priority;").fetchall()
 
         n_null = sum(1 for r in rows if r["status"] is None)
@@ -171,7 +179,10 @@ def run_one(it: int, cfg: SimConfig, keep: bool = False):
                 viol("I3_tiny_mask", starid=r["starid"],
                      mask_size=r["mask_size"])
             if r["status"] == STATUS.OK.value and r["starid"] in iso \
-                    and r["method_used"] == "aperture":
+                    and r["method_used"] == "aperture" \
+                    and r["datasource"] == "ffi":
+                # (TPF rows run a different time axis than the FFI truth
+                # table; their structural checks I3/I4 still apply.)
                 t = truth.get(r["starid"])
                 if t and t > 0:
                     ratio = mf / t
