@@ -48,3 +48,27 @@ def test_clear_drops_entries():
     aot.clear()
     second = aot.get(key, _lower)
     assert second is not first
+
+
+def test_wedged_compile_does_not_block_process_exit():
+    """A compile hung on a dead remote-compiler service must not hang
+    process shutdown: the pool threads are daemons (round-3 review fix —
+    ThreadPoolExecutor's atexit join would wait forever)."""
+    import subprocess
+    import sys
+    import time
+    code = (
+        "import threading\n"
+        "from photometry_tpu.utils import aot\n"
+        "aot.prefetch('wedge', lambda: threading.Event().wait())\n"
+        "import time; time.sleep(0.2)\n"   # let the worker pick it up
+        "print('exiting')\n"
+    )
+    t0 = time.time()
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 0, proc.stderr
+    assert "exiting" in proc.stdout
+    # generous bound: interpreter + jax import dominate; the old
+    # non-daemon pool never exited at all.
+    assert time.time() - t0 < 60
