@@ -249,7 +249,10 @@ class TpfContext:
         self.shape = tpf.shape
         self.wcs = tpf.wcs  # stamp-relative WCS
 
-        self.images = jnp.asarray(np.nan_to_num(tpf.flux, nan=np.nan))
+        # (NaNs pass through on purpose — extract_flux_core's isfinite
+        # filters own them; an nan_to_num here would turn inf pixels into
+        # finite 3.4e38 values that corrupt the flux sums.)
+        self.images = jnp.asarray(tpf.flux)
         self.images_err = jnp.asarray(tpf.flux_err)
         bkg = tpf.flux_bkg if tpf.flux_bkg is not None else np.zeros_like(tpf.flux)
         self.backgrounds = jnp.asarray(bkg)
@@ -266,11 +269,13 @@ class TpfContext:
 
         # Motion: translation kernels from POS_CORR, re-zeroed at the frame
         # nearest the catalog reference time (BasePhotometry.py:1199-1216):
-        if tpf.pos_corr is not None and np.any(np.isfinite(tpf.pos_corr)):
-            t_nocorr = self.time - self.timecorr
-            k = tpf.pos_corr.astype(np.float64)
-            good = np.isfinite(t_nocorr) & np.all(np.isfinite(k), axis=1)
-            tt = t_nocorr[good]
+        t_nocorr = self.time - self.timecorr
+        k = (tpf.pos_corr.astype(np.float64)
+             if tpf.pos_corr is not None else np.zeros((0, 2)))
+        good = (np.isfinite(t_nocorr[:len(k)]) & np.all(np.isfinite(k), axis=1)
+                if len(k) else np.zeros(0, bool))
+        if np.any(good):
+            tt = t_nocorr[:len(k)][good]
             kk = k[good]
             ref_time = self.catalog.settings.reference_time - 2457000.0
             refindx = int(np.argmin(np.abs(tt - ref_time)))
@@ -278,6 +283,9 @@ class TpfContext:
             self.motion = MotionModel(warpmode="translation")
             self.motion.load_series(tt, kk)
         else:
+            # No usable (finite time, finite POS_CORR) pair — fall back to
+            # a static pointing model instead of crashing on an empty
+            # argmin (review find: all-finite POS_CORR on all-NaN times).
             self.motion = MotionModel(warpmode="unchanged")
 
     def close(self):
@@ -379,10 +387,16 @@ def _gather_stamps_image(image, r0s, c0s, h: int, w: int):
 
 
 def extract_flux_core(images, images_err, backgrounds, pixelflags,
-                      masks, r0s, c0s, h: int, w: int):
+                      masks, r0s, c0s, h: int, w: int, windows=None):
     """Aperture sums for all targets and cadences in one program.
 
     images: (T, H, W); masks: (N, h, w); r0s/c0s: (N,) stamp corners.
+    ``windows`` (N, h, w) bool optionally limits the shenanigans flag to
+    each target's *logical* stamp — without it, a target batched into a
+    padded bucket would pick up BackgroundShenanigans pixels far outside
+    its own stamp and its quality flags would depend on batch composition
+    (reference: "detected somewhere in the final stamp",
+    BasePhotometry.py:1446-1451).
     Returns flux (N, T), flux_err (N, T), flux_bkg (N, T),
     centroid (N, T, 2) in 1-based CCD coords, shenanigans_any (N, T).
 
@@ -434,7 +448,10 @@ def extract_flux_core(images, images_err, backgrounds, pixelflags,
     mb = m & jnp.isfinite(sb)
     bsum = jnp.where(jnp.any(mb, axis=(2, 3)),
                      jnp.sum(jnp.where(mb, sb, 0.0), axis=(2, 3)), jnp.nan)
-    shen = jnp.any((sf & PixelQualityFlags.BackgroundShenanigans) != 0, axis=(2, 3))
+    shen_pix = (sf & PixelQualityFlags.BackgroundShenanigans) != 0
+    if windows is not None:
+        shen_pix = shen_pix & windows[None]
+    shen = jnp.any(shen_pix, axis=(2, 3))
 
     # transpose to (N, T) layout expected by callers:
     return (flux.T, ferr.T, bsum.T, jnp.transpose(cent, (1, 0, 2)), shen.T)
@@ -445,7 +462,7 @@ _extract_flux_batch = functools.partial(
 
 
 def _extract_flux_streamed(ctx, masks, r0s, c0s, h: int, w: int,
-                           chunk: int = 128):
+                           chunk: int = 128, windows=None):
     """T-chunked extraction for host-resident cubes (``cache='host'``).
 
     A full sector cube (e.g. 1300 x 2048 x 2048 x 3 quantities ~ 65 GB)
@@ -459,7 +476,7 @@ def _extract_flux_streamed(ctx, masks, r0s, c0s, h: int, w: int,
     for t0 in range(0, T, chunk):
         t1 = min(t0 + chunk, T)
         n = t1 - t0
-        def block(arr, fill=np.nan, dtype=np.float32):
+        def block(arr, fill=np.nan):
             b = np.asarray(arr[t0:t1])
             if n < chunk:
                 pad = np.full((chunk - n,) + b.shape[1:], fill, dtype=b.dtype)
@@ -468,9 +485,8 @@ def _extract_flux_streamed(ctx, masks, r0s, c0s, h: int, w: int,
         out = _extract_flux_batch(block(ctx.images), block(ctx.images_err),
                                   block(ctx.backgrounds),
                                   block(ctx.pixelflags, fill=0),
-                                  masks, r0s, c0s, h, w)
-        outs.append(tuple(np.asarray(o)[:, :n] if o.ndim == 2
-                          else np.asarray(o)[:, :n] for o in out))
+                                  masks, r0s, c0s, h, w, windows)
+        outs.append(tuple(np.asarray(o)[:, :n] for o in out))
     return tuple(np.concatenate([o[i] for o in outs], axis=1)
                  for i in range(5))
 
@@ -502,6 +518,26 @@ def _stamp_catalog(cat_all: dict, wcs, r0, r1, c0, c1, offset_rc=(0, 0),
     out["tmag"][:k] = cat_all["tmag"][idx]
     out["valid"][:k] = True
     return out
+
+
+def _ctx_device_array(ctx, name: str, build):
+    """Per-context cache of eagerly-uploaded device arrays.
+
+    The full-CCD sumimage/collected maps are constant for a context's
+    lifetime; re-uploading them per retry round cost ~1.4 s each through
+    the ~12 MB/s tunnel (CLAUDE.md upload-hoisting rule).  Eager call
+    sites only — never cache device values from inside a traced function.
+    """
+    cache = getattr(ctx, "_dev_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            ctx._dev_cache = cache
+        except AttributeError:  # exotic read-only context
+            return jnp.asarray(build())
+    if name not in cache:
+        cache[name] = jnp.asarray(build())
+    return cache[name]
 
 
 def _full_catalog_positions(ctx) -> dict:
@@ -540,11 +576,15 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         k2p2_params = DEFAULT_K2P2_PARAMS
 
     starids = [int(s) for s in starids]
+    if not starids:
+        return []
     N = len(starids)
     H, W = ctx.shape
     T = ctx.n_times
     cat_all = _full_catalog_positions(ctx)
-    sum_dev = jnp.asarray(np.nan_to_num(ctx.sumimage, nan=np.nan))
+    # (No nan_to_num: NaNs are owned by downstream isfinite filters, and
+    # nan_to_num would turn inf pixels into finite 3.4e38 values.)
+    sum_dev = _ctx_device_array(ctx, "sumimage", lambda: ctx.sumimage)
 
     # --- per-target setup -------------------------------------------------
     targets = []
@@ -582,7 +622,9 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         return min(n, limit)
 
     # --- retry rounds -------------------------------------------------------
-    for rnd in range(max(t["max_retries"] for t in targets)):
+    # At least one round always runs: the initial mask build is inside the
+    # loop, so retries=0 must still attempt photometry once.
+    for rnd in range(max(max(t["max_retries"] for t in targets), 1)):
         active = [t for t in targets if not t["done"] and t["resizes"] <= t["max_retries"]]
         if not active:
             break
@@ -608,8 +650,9 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         r0s = jnp.asarray(np.array(r0s, np.int32))
         c0s = jnp.asarray(np.array(c0s, np.int32))
         stamps = _gather_stamps_image(sum_dev, r0s, c0s, bh, bw)
-        coll = _gather_stamps_image(jnp.asarray(ctx.collected.astype(np.float32)),
-                                    r0s, c0s, bh, bw) > 0
+        coll_dev = _ctx_device_array(
+            ctx, "collected", lambda: ctx.collected.astype(np.float32))
+        coll = _gather_stamps_image(coll_dev, r0s, c0s, bh, bw) > 0
         # Mask out pixels outside each target's *logical* stamp:
         yy, xx = np.mgrid[0:bh, 0:bw]
         logical = []
@@ -683,9 +726,11 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             changed = clip_stamp(s2) != clip_stamp(old)
             t["stamp"] = s2
             if not changed:
-                # Could not resize further -> halo-switch quick break check:
+                # Could not resize further -> halo-switch quick break check.
+                # (No tpf-secondary exemption needed here: resize is only
+                # ever populated for ctx.datasource == "ffi".)
                 tgt = t["target"]
-                if tgt["tmag"] <= halos_tmag and not str(t.get("datasource", "")).startswith("tpf:"):
+                if tgt["tmag"] <= halos_tmag:
                     edge_img = np.zeros_like(m, dtype=bool)
                     cs = t["clipped"]
                     if "down" in resize:
@@ -703,12 +748,10 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
                         t["details"]["edge_flux"] = float(edge_flux)
                         t["status"] = STATUS.ERROR
                         t["details"]["errors"] = ["Stamp resize hit limit. Haloswitch quick break."]
+                # If no quick break fired, the mask still touches the edge
+                # but we accept it (the reference breaks its loop the same
+                # way, photometry.py:138-141).
                 t["done"] = True
-                t["edge_unresolved"] = bool(t["status"] is None)
-                if t["status"] is None:
-                    # Mask still touches the edge but we accept it (warning later
-                    # comes only from minimum mask; reference breaks the loop):
-                    pass
                 continue
             t["resizes"] += 1
             if t["resizes"] >= t["max_retries"]:
@@ -731,6 +774,9 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         bh = max(t["mask_bucket"].shape[0] for t in ok_targets)
         bw = max(t["mask_bucket"].shape[1] for t in ok_targets)
         masks_f = np.zeros((len(ok_targets), bh, bw), bool)
+        # logical-stamp windows: the shenanigans flag must see only the
+        # target's own stamp, not the shared padded bucket:
+        windows_f = np.zeros((len(ok_targets), bh, bw), bool)
         r0s = np.zeros(len(ok_targets), np.int32)
         c0s = np.zeros(len(ok_targets), np.int32)
         for i, t in enumerate(ok_targets):
@@ -742,6 +788,8 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             dr = t["bucket_corner"][0] - r0
             dc = t["bucket_corner"][1] - c0
             masks_f[i, dr:dr + m.shape[0], dc:dc + m.shape[1]] = m
+            s = t["clipped"]
+            windows_f[i, s[0] - r0:s[1] - r0, s[2] - c0:s[3] - c0] = True
             r0s[i] = r0
             c0s[i] = c0
         from ..ops.bandext import use_banded, band_extract_flux_batch
@@ -749,17 +797,18 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             # Host-resident cube: stream time chunks through the device.
             flux, ferr, fbkg, cent, shen = _extract_flux_streamed(
                 ctx, jnp.asarray(masks_f), jnp.asarray(r0s), jnp.asarray(c0s),
-                bh, bw)
+                bh, bw, windows=jnp.asarray(windows_f))
         elif use_banded(ctx):
             # Dense target batches on TPU: full-pass banded MXU kernel
             # (~7x the scattered-gather formulation at 10k targets):
             flux, ferr, fbkg, cent, shen = band_extract_flux_batch(
                 ctx.images, ctx.images_err, ctx.backgrounds, ctx.pixelflags,
-                masks_f, r0s, c0s, bh, bw)
+                masks_f, r0s, c0s, bh, bw, windows=windows_f)
         else:
             flux, ferr, fbkg, cent, shen = _extract_flux_batch(
                 ctx.images, ctx.images_err, ctx.backgrounds, ctx.pixelflags,
-                jnp.asarray(masks_f), jnp.asarray(r0s), jnp.asarray(c0s), bh, bw)
+                jnp.asarray(masks_f), jnp.asarray(r0s), jnp.asarray(c0s),
+                bh, bw, jnp.asarray(windows_f))
         flux = np.asarray(flux)
         ferr = np.asarray(ferr)
         fbkg = np.asarray(fbkg)

@@ -71,7 +71,7 @@ def use_banded(ctx) -> bool:
         return False
 
 
-def build_piece_patches(masks, r0s, c0s, shape) -> dict:
+def build_piece_patches(masks, r0s, c0s, shape, windows=None) -> dict:
     """Decompose stamps into per-cell pieces; patches are built ON DEVICE.
 
     Host work is only the tiny piece table (which stamp intersects which
@@ -100,6 +100,12 @@ def build_piece_patches(masks, r0s, c0s, shape) -> dict:
         masks_u8 = jnp.asarray(masks.astype(np.uint8))
     else:
         masks_u8 = masks.astype(jnp.uint8)
+    if windows is None:
+        win_u8 = jnp.ones_like(masks_u8)
+    elif isinstance(windows, np.ndarray):
+        win_u8 = jnp.asarray(windows.astype(np.uint8))
+    else:
+        win_u8 = windows.astype(jnp.uint8)
     mask_size = jnp.sum(masks_u8.reshape(masks_u8.shape[0], -1)
                         .astype(jnp.float32), axis=1)
     r0s = np.asarray(r0s, np.int64)
@@ -160,7 +166,7 @@ def build_piece_patches(masks, r0s, c0s, shape) -> dict:
     (pt_dev, pdr_dev, pdc_dev, tp_idx_dev, tp_valid_dev,
      cell_row0_dev, cell_col0_dev) = _unpack_tables(
         packed, n_cells=n_cells, M=M, nbc=nbc, N=N, P_max=P_max)
-    patches = _patches_device(masks_u8, pt_dev, pdr_dev, pdc_dev,
+    patches = _patches_device(masks_u8, win_u8, pt_dev, pdr_dev, pdc_dev,
                               n_cells=n_cells, M=M)
     return {
         "patches": patches,
@@ -195,34 +201,41 @@ def _unpack_tables(packed, n_cells: int, M: int, nbc: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_cells", "M"))
-def _patches_device(masks_u8, piece_target, piece_dr, piece_dc,
+def _patches_device(masks_u8, win_u8, piece_target, piece_dr, piece_dc,
                     n_cells: int, M: int):
     """(n_cells*M,) piece table -> (n_cells, M, BH*TW) patch tensor, on device.
 
-    patch[p, r, l] = 2*window + mask, where window = stamp covers cell pixel
-    (r, l) and mask = masks[target, r - dr, l - dc].  The (dr, dc) placement
-    runs as two one-hot batched matmuls on the MXU — a naive XLA gather of
-    the ~1 GB patch tensor is ~20x slower on TPU.  Everything is bf16:
-    one-hot x {0,1} products have at most one nonzero term per output, so
-    the matmuls are exact, and the output values {0, 2, 3} are bf16-exact —
-    measured ~25% faster than the f32 formulation and half the HBM.
+    patch[p, r, l] = 2*window + mask, where window = the target's window
+    map covers cell pixel (r, l) and mask = masks[target, r - dr, l - dc].
+    The window map defaults to the whole stamp rect; the engine passes the
+    target's *logical* stamp so the shenanigans flag (the one reduction
+    that uses the window, not the mask) is independent of how large the
+    shared padded bucket happens to be (reference semantics: "detected
+    somewhere in the final stamp", BasePhotometry.py:1446-1451).
+
+    The (dr, dc) placement runs as two one-hot batched matmuls on the MXU —
+    a naive XLA gather of the ~1 GB patch tensor is ~20x slower on TPU.
+    Everything is bf16: one-hot x {0..3} products have at most one nonzero
+    term per output, so the matmuls are exact, and the output values
+    {0, 2, 3} are bf16-exact — measured ~25% faster than the f32
+    formulation and half the HBM.
     """
     N, h, w = masks_u8.shape
-    msel = masks_u8[piece_target.clip(0, N - 1)].astype(jnp.bfloat16)  # (P,h,w)
+    # combined source in {0, 2, 3}: window >= mask guaranteed by caller:
+    src = (2 * jnp.maximum(win_u8, masks_u8) + masks_u8)
+    ssel = src[piece_target.clip(0, N - 1)].astype(jnp.bfloat16)  # (P,h,w)
     r_idx = jnp.arange(BH, dtype=jnp.int32)[None, :, None]
     l_idx = jnp.arange(TW, dtype=jnp.int32)[None, None, :]
     dr = piece_dr[:, None, None]
     dc = piece_dc[:, None, None]
     rowoh = (r_idx - dr == jnp.arange(h, dtype=jnp.int32)[None, None, :])
     coloh = (jnp.arange(w, dtype=jnp.int32)[None, :, None] + dc == l_idx)
-    tmp = jnp.einsum("pri,pij->prj", rowoh.astype(jnp.bfloat16), msel,
+    tmp = jnp.einsum("pri,pij->prj", rowoh.astype(jnp.bfloat16), ssel,
                      preferred_element_type=jnp.bfloat16)
     patch = jnp.einsum("prj,pjl->prl", tmp, coloh.astype(jnp.bfloat16),
                        preferred_element_type=jnp.bfloat16)
-    win = ((r_idx >= dr) & (r_idx < dr + h) & (l_idx >= dc) & (l_idx < dc + w)
-           & (piece_target[:, None, None] < N))
-    out = jnp.where(win, jnp.bfloat16(2) + patch, jnp.bfloat16(0))
-    return out.reshape(n_cells, M, BH * TW)
+    valid = (piece_target < N).astype(jnp.bfloat16)[:, None, None]
+    return (patch * valid).reshape(n_cells, M, BH * TW)
 
 
 def _split3(v):
@@ -410,19 +423,22 @@ def _combine(Q, tp_idx, tp_valid, cell_row0, cell_col0, mask_size):
 def band_extract_flux_batch(images, images_err, backgrounds, pixelflags,
                             masks, r0s, c0s, h: int, w: int,
                             t_block: int = 128, interpret: bool = False,
-                            pieces: dict = None):
+                            pieces: dict = None, windows=None):
     """Full-pass banded extraction; same outputs as extract_flux_core.
 
     ``pieces`` (from :func:`build_piece_patches`) may be precomputed and
-    reused across streamed time blocks.
+    reused across streamed time blocks.  ``windows`` (N, h, w) bool limits
+    the shenanigans reduction to each target's logical stamp.
     """
     T, H, W = images.shape
     if not bands_supported((H, W)):
         raise ValueError(f"banded extraction needs H%{BH}==0, W%{TW}==0; "
                          f"got {(T, H, W)}")
+    if tuple(masks.shape[1:]) != (h, w):
+        raise ValueError(f"masks shape {masks.shape[1:]} != stamp ({h}, {w})")
     t_block = min(t_block, T)
     if pieces is None:
-        pieces = build_piece_patches(masks, r0s, c0s, (H, W))
+        pieces = build_piece_patches(masks, r0s, c0s, (H, W), windows=windows)
     # Arbitrary T: full t_block launches + one remainder launch.
     T_main = (T // t_block) * t_block
     Qs = []

@@ -164,6 +164,16 @@ class TaskManager:
         );""")
         self.cursor.execute("CREATE UNIQUE INDEX IF NOT EXISTS diagnostics_lightcurve_idx ON diagnostics (lightcurve);")
         self.cursor.execute("CREATE INDEX IF NOT EXISTS todolist_datasource_idx ON todolist (datasource);")
+        # Batch leasing can replay the same (priority, skipped_by) fact from
+        # both sides of a symmetric mask overlap; dedup at the schema level
+        # (all inserts use OR IGNORE).  Migrate pre-existing duplicates
+        # before the unique index is created:
+        self.cursor.execute(
+            "DELETE FROM photometry_skipped WHERE rowid NOT IN "
+            "(SELECT MIN(rowid) FROM photometry_skipped "
+            "GROUP BY priority, skipped_by);")
+        self.cursor.execute("CREATE UNIQUE INDEX IF NOT EXISTS photometry_skipped_idx "
+                            "ON photometry_skipped (priority, skipped_by);")
         self.conn.commit()
 
         # Reset STARTED/ABORT/ERROR rows — re-run them this time around:
@@ -340,7 +350,24 @@ class TaskManager:
         additional_skipped = 0
         self.cursor.execute("BEGIN TRANSACTION;")
         try:
-            skip_targets = set(details.get("skip_targets", []) or [])
+            # Batch leasing can deliver a result for a target that a
+            # previously-saved batch-mate's arbitration already demoted to
+            # SKIPPED (both were in flight together).  The reference never
+            # leases a SKIPPED task again, so its unconditional status
+            # write is unreachable there (taskmanager.py:539-541 runs only
+            # for tasks that actually started); here the arbitration
+            # outcome must win: keep SKIPPED and ignore this result's own
+            # skip claims (in the reference's sequential order this target
+            # would never have run, so it could not have skipped anyone).
+            row = self.cursor.execute(
+                "SELECT status FROM todolist WHERE priority=?;",
+                (result["priority"],)).fetchone()
+            already_skipped = row is not None and row[0] == STATUS.SKIPPED.value
+            if already_skipped:
+                my_status = STATUS.SKIPPED
+                skip_targets = set()
+            else:
+                skip_targets = set(details.get("skip_targets", []) or [])
             if skip_targets:
                 ds = result["datasource"]
                 if ds.startswith("tpf:") and int(ds[4:]) in skip_targets:
@@ -355,7 +382,7 @@ class TaskManager:
                     my_status = STATUS.SKIPPED
                     if row is not None:
                         self.cursor.execute(
-                            "INSERT INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
+                            "INSERT OR IGNORE INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
                             (result["priority"], row[0]))
                     else:
                         error_msg.append(
@@ -384,12 +411,12 @@ class TaskManager:
                                     [r["priority"]])
                                 additional_skipped += self.cursor.rowcount
                                 self.cursor.execute(
-                                    "INSERT INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
+                                    "INSERT OR IGNORE INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
                                     (r["priority"], result["priority"]))
                         else:
                             my_status = STATUS.SKIPPED
                             self.cursor.execute(
-                                "INSERT INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
+                                "INSERT OR IGNORE INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
                                 (result["priority"],
                                  rows[int(np.argmin(skip_tmags))]["priority"]))
 

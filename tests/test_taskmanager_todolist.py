@@ -292,3 +292,72 @@ def test_queue_at_reference_scale(tmp_path):
     # (reference's per-task elaptime is seconds; require >2000 tasks/s here):
     assert rate > 2000, f"queue throughput too low: {rate:.0f} tasks/s"
     print(f"queue throughput: {rate:.0f} tasks/s over {n_process} of {n_tasks}")
+
+
+def test_batched_lease_arbitration_preserves_skipped(workdir, tmp_path):
+    """Round-3 review fix: with batch leasing, a target demoted to SKIPPED
+    by a batch-mate's arbitration must STAY skipped when its own (already
+    computed) result arrives — and must not skip third parties.  In the
+    reference's sequential order the skipped target would never have run
+    at all (a SKIPPED task is never leased again)."""
+    import shutil
+    sim, d, todo = workdir
+    private = str(tmp_path / "todo.sqlite")
+    shutil.copy(todo, private)
+    with TaskManager(private) as tm:
+        batch = tm.get_task_batch(batch_size=6, datasource="ffi")
+        assert len(batch) >= 3
+        tm.start_tasks([t["priority"] for t in batch])
+        a, b, c = batch[0], batch[1], batch[2]   # priority order = brightness
+        # A's mask contains B -> arbitration skips B:
+        res_a = _fake_result(a)
+        res_a["details"]["skip_targets"] = [b["starid"]]
+        tm.save_result(res_a)
+        # B's own result arrives later (same lease); it claims the fainter
+        # C in its mask.  B must stay SKIPPED and C must stay unprocessed:
+        res_b = _fake_result(b)
+        res_b["details"]["skip_targets"] = [c["starid"]]
+        tm.save_result(res_b)
+        st_b = tm.cursor.execute("SELECT status FROM todolist WHERE priority=?;",
+                                 (b["priority"],)).fetchone()[0]
+        assert st_b == STATUS.SKIPPED.value, "OK result overwrote SKIPPED"
+        st_c = tm.cursor.execute("SELECT status FROM todolist WHERE priority=?;",
+                                 (c["priority"],)).fetchone()[0]
+        assert st_c == STATUS.STARTED.value, \
+            "a skipped target's stale result skipped a third party"
+        # B's diagnostics are still recorded, and provenance is singular:
+        n_diag = tm.cursor.execute("SELECT COUNT(*) FROM diagnostics WHERE priority=?;",
+                                   (b["priority"],)).fetchone()[0]
+        assert n_diag == 1
+        rows = tm.cursor.execute(
+            "SELECT COUNT(*) FROM photometry_skipped WHERE priority=?;",
+            (b["priority"],)).fetchone()[0]
+        assert rows == 1
+        # summary counted B as SKIPPED, not OK:
+        assert tm.summary["OK"] == 1 and tm.summary["SKIPPED"] >= 1
+
+
+def test_symmetric_overlap_no_duplicate_skip_rows(workdir, tmp_path):
+    """Both sides of a symmetric mask overlap saved from one batch lease
+    must leave exactly one photometry_skipped row."""
+    import shutil
+    sim, d, todo = workdir
+    private = str(tmp_path / "todo.sqlite")
+    shutil.copy(todo, private)
+    with TaskManager(private) as tm:
+        batch = tm.get_task_batch(batch_size=4, datasource="ffi")
+        tm.start_tasks([t["priority"] for t in batch])
+        a, b = batch[0], batch[1]
+        res_a = _fake_result(a)
+        res_a["details"]["skip_targets"] = [b["starid"]]
+        tm.save_result(res_a)
+        res_b = _fake_result(b)
+        res_b["details"]["skip_targets"] = [a["starid"]]
+        tm.save_result(res_b)
+        rows = tm.cursor.execute(
+            "SELECT priority, skipped_by, COUNT(*) c FROM photometry_skipped "
+            "GROUP BY priority, skipped_by HAVING c > 1;").fetchall()
+        assert rows == []
+        st_a = tm.cursor.execute("SELECT status FROM todolist WHERE priority=?;",
+                                 (a["priority"],)).fetchone()[0]
+        assert st_a == STATUS.OK.value
