@@ -386,6 +386,15 @@ def _parse_tform(tform: str):
     return repeat, code
 
 
+def _strip_scaling(hdr: Header) -> None:
+    """Drop BSCALE/BZERO after they were applied on read, so writing the
+    (now physical) data back with the same header cannot double-scale it
+    for the next reader (astropy strips them the same way)."""
+    for key in ("BSCALE", "BZERO"):
+        if hdr.get(key) is not None:
+            del hdr[key]
+
+
 def _read_data(fh, hdr: Header):
     naxis = int(hdr.get("NAXIS", 0))
     if naxis == 0:
@@ -397,7 +406,14 @@ def _read_data(fh, hdr: Header):
     raw = fh.read(total)
     if len(raw) < total:
         raise EOFError("Truncated FITS data")
-    fh.read((-total) % BLOCK)  # skip padding
+    # The data block also contains PCOUNT heap bytes (variable-length
+    # array columns); skip them so the next HDU's header parse does not
+    # consume heap bytes as cards.  (Variable-length columns themselves
+    # are not decoded — their descriptors come back as raw P/Q pairs.)
+    pcount = int(hdr.get("PCOUNT", 0) or 0)
+    if pcount:
+        fh.read(pcount)
+    fh.read((-(total + pcount)) % BLOCK)  # skip padding
 
     if xtension == "BINTABLE":
         nrows = shape[0]
@@ -415,6 +431,17 @@ def _read_data(fh, hdr: Header):
                 arr = np.array([data[i * width:(i + 1) * width].decode("ascii").rstrip()
                                 for i in range(nrows)])
                 offset += width
+            elif code in ("P", "Q"):
+                # variable-length array descriptor: (count, heap offset)
+                # pairs; returned raw (the heap itself is skipped below):
+                dt = np.dtype(">i4" if code == "P" else ">i8")
+                width = dt.itemsize * 2 * repeat
+                arr = np.frombuffer(rec[:, offset:offset + width].tobytes(),
+                                    dtype=dt).reshape(nrows, 2 * repeat)
+                arr = arr.astype(arr.dtype.newbyteorder("="))
+                offset += width
+                cols[name] = arr
+                continue
             else:
                 dt = np.dtype(_TFORM_DTYPE[code])
                 width = dt.itemsize * repeat
@@ -428,11 +455,27 @@ def _read_data(fh, hdr: Header):
                     arr = arr[:, 0]
                 arr = arr.astype(arr.dtype.newbyteorder("="))
                 offset += width
-            # apply column scaling if present:
+            if code == "L":
+                # FITS logicals are ASCII 'T'/'F' bytes (both nonzero!);
+                # this module's own writer stores 1/0 which also decodes
+                # correctly here:
+                arr = (arr.view(np.uint8) == ord("T")) | (arr.view(np.uint8) == 1)
+            # apply column scaling if present, then strip the keywords so a
+            # read-modify-write does not double-apply them (astropy does
+            # the same after scaling on read):
             tz = hdr.get(f"TZERO{f}")
             ts = hdr.get(f"TSCAL{f}")
             if ts is not None or tz is not None:
+                if arr.dtype.kind in "iu":
+                    # promote first: under NumPy 2 (NEP 50) int16 + 32768
+                    # raises OverflowError instead of upcasting — and the
+                    # unsigned convention (TZERO=2^(bits-1)) is exactly
+                    # that case:
+                    arr = arr.astype(np.int64)
                 arr = arr * (ts if ts is not None else 1) + (tz if tz is not None else 0)
+                for key in (f"TZERO{f}", f"TSCAL{f}"):
+                    if hdr.get(key) is not None:
+                        del hdr[key]
             cols[name] = arr
         return cols, "bintable"
 
@@ -445,6 +488,7 @@ def _read_data(fh, hdr: Header):
         bzero = hdr.get("BZERO", 0)
         if bscale != 1 or bzero != 0:
             arr = arr * bscale + bzero
+            _strip_scaling(hdr)
         return arr, "image"
     arr = np.frombuffer(raw, dtype=dtype).reshape(shape)
     bscale = hdr.get("BSCALE", 1)
@@ -454,6 +498,7 @@ def _read_data(fh, hdr: Header):
             arr = arr.astype(np.int64) * bscale + bzero
         else:
             arr = arr.astype(np.float64) * bscale + bzero
+        _strip_scaling(hdr)
     else:
         arr = arr.astype(dtype.newbyteorder("="))
     return arr, "image"
@@ -521,6 +566,8 @@ def _column_spec(arr: np.ndarray):
     key = arr.dtype.str[1:]
     if key == "i1":
         key = "b"
+    elif key == "b1":   # numpy bool dtype.str is '|b1'
+        key = "?"
     code = _NP_TFORM.get(key)
     if code is None:
         raise TypeError(f"Unsupported column dtype {arr.dtype}")
@@ -575,6 +622,9 @@ def _bintable_parts(cols: dict, user_header: Header, name) -> tuple:
             offset += width
         else:
             flat = arr.reshape(nrows, repeat).astype(be)
+            if tform.endswith("L"):
+                # standard FITS logicals are ASCII 'T'/'F', not 1/0:
+                flat = np.where(flat, np.uint8(ord("T")), np.uint8(ord("F")))
             width = be.itemsize * repeat
             buf[:, offset:offset + width] = flat.view(np.uint8).reshape(nrows, width)
             offset += width

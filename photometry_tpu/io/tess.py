@@ -90,6 +90,18 @@ def read_ffi(path) -> FFIFrame:
                and raw.shape == TESS_RAW_SHAPE)
     smear = vsmear = None
     if is_tess:
+        # The SPOC header's WCS lives on the RAW 2078x2136 grid (science
+        # pixels start at column 44); shift it onto the cropped science
+        # grid so every downstream consumer (catalog masks, the engine's
+        # target_position, stored cube WCS) works in science coordinates.
+        # The reference keeps the raw WCS and instead subtracts
+        # PIXEL_OFFSET_COLUMN at every data access
+        # (BasePhotometry.py:857-860); here the offset is applied ONCE at
+        # ingest and PIXEL_OFFSET_COLUMN is only used to label raw-CCD
+        # column output (engine.aperture_image).
+        if wcs is not None:
+            wcs = wcs.shifted(drow=SCIENCE_ROWS.start or 0,
+                              dcol=SCIENCE_COLS.start)
         data = np.asarray(raw[SCIENCE_ROWS, SCIENCE_COLS], dtype=np.float32)
         uncert = None
         if len(hdus) > 2 and hdus[2].data is not None:

@@ -160,6 +160,19 @@ class TanWCS:
         """Approximate pixel scale in arcsec/pixel."""
         return float(np.sqrt(np.abs(np.linalg.det(self.cd))) * 3600.0)
 
+    def shifted(self, drow: float = 0.0, dcol: float = 0.0) -> "TanWCS":
+        """The same sky solution on a cropped/translated pixel grid where
+        new (row, col) = old (row, col) - (drow, dcol).
+
+        A pure CRPIX shift: SIP u/v are CRPIX-relative, so the distortion
+        coefficients carry over unchanged.  Used to convert the raw-frame
+        WCS of flight FFIs (columns 1..2136 incl. overscan) into the
+        science-area frame the whole pipeline works in (io/tess.read_ffi).
+        """
+        import dataclasses
+        return dataclasses.replace(
+            self, crpix=self.crpix - np.array([dcol, drow], np.float64))
+
     # -- header round-trip -----------------------------------------------------
     @classmethod
     def from_header(cls, hdr) -> "TanWCS":
@@ -260,8 +273,10 @@ def fit_tan_wcs(x, y, ra, dec, crpix=None) -> TanWCS:
     y = np.asarray(y, np.float64)
     ra = np.asarray(ra, np.float64)
     dec = np.asarray(dec, np.float64)
-    if x.size < 3:
-        raise ValueError("Need at least 3 points to fit a TAN WCS")
+    if x.size < 4:
+        raise ValueError("Need at least 4 points to fit a TAN WCS "
+                         "(the 9-parameter DLT is underdetermined below 4: "
+                         "3 points return an arbitrary nullspace vector)")
     if crpix is None:
         crpix = np.array([np.mean(x), np.mean(y)])
     crpix = np.asarray(crpix, np.float64)

@@ -148,12 +148,25 @@ def _fill_nan_tiles(grid, iters: int = 16):
 
 
 def _tiled_mode(img, mask, tile: int, exclude_fraction: float):
-    """Per-tile sigma-clipped SExtractor mode, filtered and upsampled."""
+    """Per-tile sigma-clipped SExtractor mode, filtered and upsampled.
+
+    Frames not divisible by ``tile`` are PADDED to whole tiles (padding
+    pixels masked out), like photutils' Background2D box padding —
+    truncating the remainder and stretching the mesh over the full frame
+    (the earlier formulation) shifted every cell by up to half a tile near
+    the far edges.
+    """
     H, W = img.shape
-    th, tw = H // tile, W // tile
-    tiles = img[:th * tile, :tw * tile].reshape(th, tile, tw, tile)
+    th, tw = -(-H // tile), -(-W // tile)
+    Hp, Wp = th * tile, tw * tile
+    if (Hp, Wp) != (H, W):
+        img = jnp.pad(img, ((0, Hp - H), (0, Wp - W)),
+                      constant_values=jnp.nan)
+        mask = jnp.pad(mask, ((0, Hp - H), (0, Wp - W)),
+                       constant_values=True)
+    tiles = img.reshape(th, tile, tw, tile)
     tiles = tiles.transpose(0, 2, 1, 3).reshape(th, tw, tile * tile)
-    mtiles = mask[:th * tile, :tw * tile].reshape(th, tile, tw, tile)
+    mtiles = mask.reshape(th, tile, tw, tile)
     mtiles = mtiles.transpose(0, 2, 1, 3).reshape(th, tw, tile * tile)
 
     grid = sextractor_mode(tiles, mask=mtiles, min_fraction=1.0 - exclude_fraction)
@@ -163,7 +176,7 @@ def _tiled_mode(img, mask, tile: int, exclude_fraction: float):
     # Cubic B-spline zoom of the tile mesh back to pixel resolution — the
     # exact photutils BkgZoomInterpolator / scipy.ndimage.zoom(order=3,
     # mode='reflect', grid_mode=True) semantics (parity-tested vs scipy):
-    return spline_zoom(grid, (H, W))
+    return spline_zoom(grid, (Hp, Wp))[:H, :W]
 
 
 # ---------------------------------------------------------------------------

@@ -7,8 +7,8 @@ for TPU execution:
 - backgrounds for a whole chunk of frames are fit in ONE vmapped+jitted
   device program (ops.background) instead of a multiprocessing Pool
   (prepare.py:184-199);
-- background time-smoothing is a vectorised moving median over the chunked
-  time axis with halo overlap (prepare.py:309-338);
+- background time-smoothing is a vectorised moving nanmean over the chunked
+  time axis with halo overlap (the reference's statistic, prepare.py:309-338);
 - the Background-Shenanigans detector (median-filtered residual vs a robust
   mean image, threshold 40 e-/s; prepare.py:514-622) runs as batched device
   median filters;
@@ -42,7 +42,6 @@ from .io.tess import read_ffi
 from .core.pixelflags import manual_exclude_mask, shenanigans_residual
 from .quality import PixelQualityFlags, TESSQualityFlags
 from .ops.background import estimate_background
-from .utils.mathutils import np_moving_median_central
 
 logger = logging.getLogger(__name__)
 
@@ -298,8 +297,13 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
 
         cube.write_vectors(time=time, timecorr=timecorr, cadenceno=cadenceno,
                            quality=quality)
-        cube.h5.create_dataset("time_start", data=time_start)
-        cube.h5.create_dataset("time_stop", data=time_stop)
+        # delete-before-create so a crash between dataset creation and
+        # mark_done("images") stays resumable (stage 6 pattern):
+        for ds_name, ds_data in (("time_start", time_start),
+                                 ("time_stop", time_stop)):
+            if ds_name in cube.h5:
+                del cube.h5[ds_name]
+            cube.h5.create_dataset(ds_name, data=ds_data)
         cube.write_sumimage(np.asarray(sumimage),
                             pixels_used=(used_in_bkg / T > backgrounds_pixels_threshold))
         cube.mark_done("images")

@@ -161,7 +161,11 @@ class SimulatedSector:
             hdr.set("GAIN", 5.2)
             hdr.set("READNOIS", cfg.read_noise)
             hdr.set("QUAL_BIT", int(self.quality[k]))
-            img_hdr = self.wcs.to_header(pf.Header())
+            # Raw-geometry files carry the WCS of the RAW pixel grid
+            # (science column c sits at raw column c+44), exactly like
+            # SPOC flight FFIs; read_ffi shifts it back at ingest.
+            img_hdr = (self.wcs.shifted(dcol=-44) if raw_geometry
+                       else self.wcs).to_header(pf.Header())
             img = self.images[k].astype(np.float32)
             err = self.uncert[k].astype(np.float32)
             if raw_geometry:

@@ -166,3 +166,30 @@ def test_discovery_tpf_cadence_filter(sim, sim_dir, tmp_path):
     assert discovery.find_tpf_files(str(tmp_path), cadence=120) == []
     with pytest.raises(ValueError):
         discovery.find_tpf_files(str(tmp_path), cadence=60)
+
+
+def test_raw_geometry_wcs_shifted_to_science(sim, tmp_path):
+    """Flight-FFI convention (round-3 review find): the SPOC header WCS
+    lives on the RAW 2078x2136 grid; read_ffi must shift it onto the
+    cropped science grid, or every downstream aperture on real data would
+    sit 44 columns off (the reference instead subtracts
+    PIXEL_OFFSET_COLUMN at each access, BasePhotometry.py:857-860)."""
+    paths = sim.write_ffis(str(tmp_path), raw_geometry=True, gzip=False)
+    frame = read_ffi(paths[0])
+    assert frame.is_tess
+    # the raw-file header itself is raw-grid (science + 44 columns):
+    from photometry_tpu.io import fits as pf
+    from photometry_tpu.io.wcs import TanWCS
+    hdus = pf.read_fits(paths[0])
+    raw_wcs = TanWCS.from_header(hdus[1].header)
+    # pick sky points from the science WCS truth (sim.wcs):
+    ra, dec = sim.wcs.radec_of_rowcol(np.array([10.0, 50.0, 80.0]),
+                                      np.array([5.0, 48.0, 90.0]))
+    r_raw, c_raw = raw_wcs.rowcol_of_radec(ra, dec)
+    np.testing.assert_allclose(c_raw, np.array([5.0, 48.0, 90.0]) + 44,
+                               atol=1e-6)
+    np.testing.assert_allclose(r_raw, [10.0, 50.0, 80.0], atol=1e-6)
+    # ...but the ingested frame's WCS is science-grid:
+    r, c = frame.wcs.rowcol_of_radec(ra, dec)
+    np.testing.assert_allclose(r, [10.0, 50.0, 80.0], atol=1e-6)
+    np.testing.assert_allclose(c, [5.0, 48.0, 90.0], atol=1e-6)
