@@ -23,8 +23,6 @@ from typing import Optional
 
 import numpy as np
 
-from .utils.mathutils import add_proper_motion
-
 __all__ = ["StarCatalog", "make_catalog", "make_catalog_from_arrays",
            "catalog_filename", "query_footprint"]
 
@@ -75,7 +73,10 @@ def make_catalog_from_arrays(
     tmag = np.asarray(tmag, np.float64)
     teff = np.full(len(starid), np.nan) if teff is None else np.asarray(teff, np.float64)
 
-    # Propagate to the sector reference epoch (float64 on host):
+    # Propagate to the sector reference epoch.  This duplicates the math of
+    # utils.mathutils.add_proper_motion ON PURPOSE: the shared helper is
+    # jnp-based (float32 without x64) while the catalog build needs host
+    # float64; keep the two in sync if the PM convention ever changes.
     years = (reference_time - 2451544.5) / 365.25 + 2000.0 - epoch
     dec_rate = pm_dec / 3.6e6
     dec_now = dec_j2000 + years * dec_rate
@@ -151,10 +152,18 @@ def query_footprint(cursor, footprint: np.ndarray, columns: str = "*",
 
     query = (f"SELECT {columns} FROM catalog WHERE ra BETWEEN :ra_min AND :ra_max "
              f"AND decl BETWEEN :dec_min AND :dec_max{constraints};")
+    # Straddle detection: corners on both sides of RA=0 show up as an
+    # apparent >180-deg spread (WCS returns [0, 360)).  The reference's
+    # trigger only fired when a corner sat within buffer_deg of the line
+    # (catalog.py:80), so a footprint straddling RA=0 with corners further
+    # out ran the plain BETWEEN query — returning the whole sky EXCEPT its
+    # own RA band.  The buffer conditions stay for the box-crosses-zero
+    # case (corner near the line without corners on both sides).
+    straddles = (ra_max - ra_min) > 180.0
     if dec_min < -90 or dec_max > 90:
         cursor.execute(query, {"ra_min": 0, "ra_max": 360,
                                "dec_min": dec_min, "dec_max": dec_max})
-    elif ra_min <= buffer_deg or 360 - ra_max <= buffer_deg:
+    elif straddles or ra_min <= buffer_deg or 360 - ra_max <= buffer_deg:
         corners_ra = np.mod(footprint[:, 0] - buffer_deg, 360)
         ra_hi = np.min(corners_ra[corners_ra > 180])
         corners_ra = np.mod(footprint[:, 0] + buffer_deg, 360)
@@ -221,7 +230,7 @@ def make_catalog(input_folder: str, sector: int, camera: int, ccd: int,
         with np.load(tic_source) as d:
             cols = {k: np.asarray(d[k]) for k in d.files}
     else:
-        raw = np.loadtxt(tic_source)
+        raw = np.loadtxt(tic_source, ndmin=2)  # single-row extracts stay 2-D
         names = ("starid", "ra", "dec", "pm_ra", "pm_dec", "tmag", "teff")
         cols = {n: raw[:, i] for i, n in enumerate(names[:raw.shape[1]])}
     return make_catalog_from_arrays(

@@ -170,8 +170,13 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER,
         w = min(STAMP_SIZE, W)
         s = (r0, r0 + h, c0, c0 + w)
 
-        imgs = np.asarray(jax.lax.dynamic_slice(ctx.images, (0, r0, c0), (T, h, w)))
-        errs = np.asarray(jax.lax.dynamic_slice(ctx.images_err, (0, r0, c0), (T, h, w)))
+        # Plain (static) slicing: r0/c0 are Python ints, and
+        # jax.lax.dynamic_slice on a HOST cube would device_put the whole
+        # (T, H, W) array first — gigabytes through the ~12 MB/s tunnel
+        # per target (CLAUDE.md upload-hoisting rule).  Device cubes slice
+        # on device and only the stamp crosses back.
+        imgs = np.asarray(ctx.images[:, r0:r0 + h, c0:c0 + w])
+        errs = np.asarray(ctx.images_err[:, r0:r0 + h, c0:c0 + w])
 
         yy, xx = np.mgrid[0:h, 0:w]
         dist = np.hypot(yy + r0 - row, xx + c0 - col)

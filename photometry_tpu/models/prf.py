@@ -62,6 +62,14 @@ class PRF:
         from scipy.ndimage import uniform_filter
         dx = float(np.median(np.diff(prf_x)))
         dy = float(np.median(np.diff(prf_y)))
+        if abs(dx - dy) > 1e-6 * max(abs(dx), abs(dy)):
+            # the single `oversample` scales BOTH axes downstream
+            # (pixel_fraction/_axis_values); an anisotropic table would be
+            # silently stretched — fail loudly instead:
+            raise ValueError(
+                f"Anisotropic PRF sample grid (dx={dx:g}, dy={dy:g}) is not "
+                "supported: the evaluation kernels assume one oversample "
+                "factor for both axes.")
         nx = max(int(round(1.0 / dx)), 1)
         ny = max(int(round(1.0 / dy)), 1)
         # sum over a 1x1 pixel window = mean * window_size; times sample area:

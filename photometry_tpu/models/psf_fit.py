@@ -140,10 +140,15 @@ def make_psf_fitter(prf, shape, S: int, lhood_stat: str = "Gaussian_d",
             dp = -solve_spd_small(JtJ + damp, J.T @ r)
             p_new = p + dp * par_valid
             rows, cols, fluxes = _unpack(p_new, S)
-            # Physical constraints (reference prior: flux >= 0):
+            # Physical constraints (reference prior: flux >= 0).  Clip only
+            # REAL stars: dragging a dummy from DUMMY_POS to the stamp
+            # corner would give it nonzero PRF support, and the final
+            # covariance relies on dummy Jacobian columns being exactly
+            # zero (an unconditional clip biased flux_err for targets
+            # within the cutoff radius of a clipped stamp corner).
             fluxes = jnp.maximum(fluxes, 0.0)
-            rows = jnp.clip(rows, -2.0, h + 1.0)
-            cols = jnp.clip(cols, -2.0, w + 1.0)
+            rows = jnp.where(valid, jnp.clip(rows, -2.0, h + 1.0), rows)
+            cols = jnp.where(valid, jnp.clip(cols, -2.0, w + 1.0), cols)
             return _pack(rows, cols, fluxes), None
 
         p, _ = jax.lax.scan(step, p0, None, length=n_iters)

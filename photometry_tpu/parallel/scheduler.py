@@ -259,9 +259,18 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                     if batch:
                         tm.start_tasks([t["priority"] for t in batch])
                         w["batch"] = batch
-                        conn.send((START, batch))
+                        try:
+                            conn.send((START, batch))
+                        except (BrokenPipeError, OSError):
+                            # Worker died between its READY/DONE and our
+                            # reply: reclaim the fresh lease and respawn
+                            # instead of crashing the whole run.
+                            _reap(w)
                     else:
-                        conn.send((EXIT, None))
+                        try:
+                            conn.send((EXIT, None))
+                        except (BrokenPipeError, OSError):
+                            pass  # it is exiting anyway
                         w["alive"] = False
                         n_active -= 1
 

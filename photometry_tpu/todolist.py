@@ -32,6 +32,10 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["make_todo", "calc_cbv_area", "edge_distance"]
 
+#: INTERMEDIATE row layout produced by _ffi_targets/_tpf_targets — the same
+#: 9 fields as the reference's working Table (todolist.py:201).  edge_dist
+#: is consumed by the keep-farthest-from-edge secondary dedup and (like the
+#: reference, todolist.py:605-643) NOT persisted to the final schema.
 _COLUMNS = ("starid", "sector", "camera", "ccd", "cadence", "datasource",
             "tmag", "cbv_area", "edge_dist")
 
@@ -181,7 +185,10 @@ def _tpf_targets(fname: str, input_folder: str, cameras, ccds,
                 y = y - 1.0
                 inside = ((x >= -0.5) & (y >= -0.5) & (x <= w - 0.5) & (y <= h - 0.5))
                 for i in np.where(inside)[0]:
-                    ry, rx = int(np.round(y[i])), int(np.round(x[i]))
+                    # clip: np.round's half-to-even sends the inclusive
+                    # x == w-0.5 boundary to index w (IndexError):
+                    ry = min(int(np.round(y[i])), h - 1)
+                    rx = min(int(np.round(x[i])), w - 1)
                     if not observed[ry, rx]:
                         continue
                     ed = float(edge_distance(y[i], x[i], aperture=observed))

@@ -230,3 +230,45 @@ def test_timecorr_settings_gate(monkeypatch, tmp_path):
         assert dispatcher.default_time_corrector() is None
     finally:
         dispatcher.default_time_corrector.cache_clear()
+
+
+
+def test_query_footprint_ra0_straddle(tmp_path):
+    """A footprint straddling RA=0 must return exactly the stars in its
+    own RA band (round-3 review find: the reference-mirrored trigger only
+    fired when a corner sat within the buffer of the line, so a generic
+    straddle ran the plain BETWEEN query and returned the COMPLEMENT)."""
+    import sqlite3
+    import numpy as np
+    from photometry_tpu.catalog import make_catalog_from_arrays, query_footprint
+
+    ras = np.array([359.7, 359.95, 0.05, 0.3, 90.0, 180.0, 270.0])
+    n = len(ras)
+    path = make_catalog_from_arrays(
+        str(tmp_path / "catalog_sector001_camera1_ccd1.sqlite"),
+        starid=np.arange(1, n + 1), ra_j2000=ras,
+        dec_j2000=np.zeros(n), pm_ra=np.zeros(n), pm_dec=np.zeros(n),
+        tmag=np.full(n, 10.0), sector=1, camera=1, ccd=1,
+        reference_time=2458325.5, epoch=2000.0,
+        camera_centre=(0.0, 0.0),
+        footprint=np.array([[359.5, -1.0], [359.5, 1.0],
+                            [0.5, 1.0], [0.5, -1.0]]))
+    with sqlite3.connect(path) as conn:
+        conn.row_factory = sqlite3.Row
+        cur = conn.cursor()
+        # straddling stamp: corners at 359.9 and 0.1 (NOT within the
+        # ~0.03-deg buffer of the line -> the old trigger missed it):
+        foot = np.array([[359.9, -0.5], [359.9, 0.5],
+                         [0.1, 0.5], [0.1, -0.5]])
+        got = sorted(r["starid"] for r in query_footprint(cur, foot))
+        assert got == [2, 3], got
+        # wider straddle:
+        foot = np.array([[355.0, -0.5], [355.0, 0.5],
+                         [5.0, 0.5], [5.0, -0.5]])
+        got = sorted(r["starid"] for r in query_footprint(cur, foot))
+        assert got == [1, 2, 3, 4], got
+        # normal box away from the line still works:
+        foot = np.array([[89.0, -0.5], [89.0, 0.5],
+                         [91.0, 0.5], [91.0, -0.5]])
+        got = sorted(r["starid"] for r in query_footprint(cur, foot))
+        assert got == [5], got

@@ -192,7 +192,12 @@ def run_one(it: int, cfg: SimConfig, keep: bool = False):
             if cont is not None and np.isfinite(cont) and not (-1e-6 <= cont <= 1.5):
                 viol("I3_bad_contamination", starid=r["starid"],
                      contamination=cont)
-            if r["mask_size"] is not None and r["mask_size"] < 4:
+            if (r["mask_size"] is not None and r["mask_size"] < 4
+                    and r["status"] == STATUS.OK.value):
+                # WARNING rows may carry a <4-px mask legitimately: the
+                # reference's 2x2 minimum-aperture fallback intersected
+                # with collected pixels (verified on a TPF secondary at
+                # the stamp edge, campaign B iter 25).
                 viol("I3_tiny_mask", starid=r["starid"],
                      mask_size=r["mask_size"])
             if r["status"] == STATUS.OK.value and r["starid"] in iso \
