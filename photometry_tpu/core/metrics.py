@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quality import TESSQualityFlags
-from ..utils.mathutils import rms_timescale, polyfit_detrend
+from ..utils.mathutils import rms_timescale, polyfit_detrend, ptp_metric
 
 __all__ = ["compute_metrics", "compute_metrics_batch",
            "crowding_metrics_batch"]
@@ -108,7 +108,7 @@ def compute_metrics(time, flux, flux_err, quality, pos_centroid):
     variance = jnp.nansum(jnp.where(jnp.isfinite(rel), (rel - mean_rel) ** 2, 0.0)) / jnp.maximum(n - 1, 1)
 
     rms_hour = rms_timescale(t, rel)
-    ptp = jnp.nanmedian(jnp.abs(jnp.diff(rel)))
+    ptp = ptp_metric(rel)
 
     pc = jnp.where(good[:, None], pos_centroid, jnp.nan)
     pos_med = jnp.nanmedian(pc, axis=0)

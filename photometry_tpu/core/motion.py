@@ -140,6 +140,11 @@ class MotionModel:
             indx = np.isfinite(times) & np.all(np.isfinite(kernels), axis=1)
             self.series_times = times[indx]
             self.series_kernels = kernels[indx]
+            if len(self.series_times) == 0:
+                # fail at load like the wcs branch — otherwise the first
+                # jitter_batch dies with an obscure IndexError deep in
+                # extraction (review find: all-NaN ECC kernel series):
+                raise ValueError("No valid (finite) kernels in series")
 
     # ------------------------------------------------------------- evaluation
     def jitter_batch(self, eval_times, cols, rows) -> np.ndarray:

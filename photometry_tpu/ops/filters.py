@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["median_filter2d", "gaussian_blur2d", "scharr",
-           "binary_dilation", "binary_erosion", "fill_holes",
+__all__ = ["median_filter2d", "median_filter2d_chunked", "gaussian_blur2d",
+           "scharr", "binary_dilation", "binary_erosion", "fill_holes",
            "time_moving_nanmean", "time_moving_nanmean_blocked"]
 
 
@@ -101,35 +101,35 @@ def median_filter2d(img, size: int = 15, mode: str = "reflect"):
 def _median_block(padded, size: int, rows: int, W: int):
     """Exact k x k median of one padded (rows+k-1, W+k-1) NaN-free block.
 
-    Selection by VALUE BISECTION on the k^2-deep shifted stack: per
-    iteration one vectorised count of elements <= mid, 40 iterations, then
-    the exact order statistic is recovered as the smallest element above
-    the converged lower bound.  XLA TPU ``sort`` materialises every bitonic
-    stage (~35 GB at full-CCD blocks) and ``nanmedian`` adds a per-pixel
-    gather, so neither survives CCD scale; this runs in O(stack) memory.
+    Selection by BISECTION IN int32 BIT-PATTERN SPACE on the k^2-deep
+    shifted stack (same trick as ops.stats.masked_median): float32 values
+    map monotonically onto int32 keys, so 33 integer halvings isolate the
+    order statistic EXACTLY regardless of dynamic range — the earlier
+    value bisection (40 fixed halvings of vmax-vmin) stalled on a single
+    3.4e38 outlier (what nan_to_num makes of an inf pixel) and returned
+    the window MINIMUM for every window touching it.  XLA TPU ``sort``
+    materialises every bitonic stage (~35 GB at full-CCD blocks) and
+    ``nanmedian`` adds a per-pixel gather, so neither survives CCD scale;
+    this runs in O(stack) memory.
     """
+    from .stats import _f32_to_ordkey, _ordkey_to_f32
     shifts = [padded[dy:dy + rows, dx:dx + W]
               for dy in range(size) for dx in range(size)]
-    stack = jnp.stack(shifts, axis=0)              # (K, rows, W)
+    stack = _f32_to_ordkey(jnp.stack(shifts, axis=0))  # (K, rows, W) int32
     K = stack.shape[0]
     target = K // 2 + 1                            # rank of the median (K odd)
-    vmin = jnp.min(stack, axis=0)
-    vmax = jnp.max(stack, axis=0)
-    # open lower bound strictly below the minimum (count(<=lo) = 0 < target):
-    lo = vmin - jnp.maximum(jnp.abs(vmin) * 1e-6, 1e-6)
-    hi = vmax
+    lo = jnp.min(stack, axis=0) - 1                # count(<= lo) = 0 < target
+    hi = jnp.max(stack, axis=0)
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = 0.5 * (lo + hi)
+        mid = (lo & hi) + ((lo ^ hi) >> 1)         # overflow-safe floor avg
         ge = jnp.sum(stack <= mid[None], axis=0) >= target
         return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
-    lo, hi = jax.lax.fori_loop(0, 40, body, (lo, hi))
-    # count(<=lo) < target <= count(<=hi) and (lo, hi] has collapsed to one
-    # representable value -> the median is the smallest element above lo:
-    sel = jnp.min(jnp.where(stack > lo[None], stack, jnp.inf), axis=0)
-    return jnp.where(jnp.isfinite(sel), sel, vmax)
+    lo, hi = jax.lax.fori_loop(0, 33, body, (lo, hi))
+    # hi has collapsed onto the key of the target order statistic:
+    return _ordkey_to_f32(hi)
 
 
 def median_filter2d_chunked(img, size: int = 15, chunk_rows: int = 0,
@@ -261,13 +261,14 @@ def fill_holes(mask, max_iters: int = 256):
     outside0 = border & ~mask
 
     def cond(state):
-        outside, changed = state
-        return changed
+        outside, changed, it = state
+        return changed & (it < max_iters)
 
     def body(state):
-        outside, _ = state
+        outside, _, it = state
         grown = binary_dilation(outside, connectivity=1) & ~mask
-        return grown, jnp.any(grown != outside)
+        return grown, jnp.any(grown != outside), it + 1
 
-    outside, _ = jax.lax.while_loop(cond, body, (outside0, jnp.array(True)))
+    outside, _, _ = jax.lax.while_loop(
+        cond, body, (outside0, jnp.array(True), jnp.int32(0)))
     return mask | ~outside

@@ -131,10 +131,6 @@ def ecc_align(ref, img, mode: str = "euclidian", n_iters: int = 50,
     def params_to_mat(p):
         return warp_params_to_matrix(p, mode)
 
-    def mat_to_update(dp_mat, p):
-        # dp_mat: increments of [dx, dy, theta-ish...] per mode
-        return p + dp_mat
-
     def jac_columns(p, wx, wy):
         """Warp jacobians dx/dp, dy/dp evaluated at original grid coords."""
         if mode == "translation":

@@ -239,3 +239,28 @@ def test_masked_median_extreme_range_exact():
                                       min_bisect=0))
     want = np.float32(np.median(x.astype(np.float64)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_median_filter_survives_huge_outlier():
+    """A 3.4e38 pixel (nan_to_num of +inf) must not collapse neighbouring
+    window medians to the window minimum — the old fixed-range value
+    bisection stalled after 40 halvings from vmax~3.4e38 (round-3 review
+    find); the bit-pattern bisection is range-independent."""
+    from photometry_tpu.ops.filters import median_filter2d_chunked
+    rng = np.random.default_rng(3)
+    img = rng.normal(100.0, 1.0, (40, 40)).astype(np.float32)
+    img[20, 20] = np.inf        # nan_to_num -> 3.4e38 inside the filter
+    got = median_filter2d_chunked(img, size=15)
+    import scipy.ndimage as ndi
+    want = ndi.median_filter(np.nan_to_num(img), size=15, mode="reflect")
+    # everywhere except windows containing the outlier pixel itself the
+    # median is outlier-free; require exact agreement with scipy:
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_motion_load_series_all_invalid_raises():
+    from photometry_tpu.core.motion import MotionModel
+    m = MotionModel(warpmode="translation")
+    with pytest.raises(ValueError, match="No valid"):
+        m.load_series(np.array([0.0, 1.0]),
+                      np.array([[np.nan, 1.0], [2.0, np.inf]]))
