@@ -16,6 +16,7 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#include <limits>
 
 #include <zlib.h>
 
@@ -125,8 +126,15 @@ void pt_moving_median_f32(const float* in, int64_t T, int64_t P, int window,
 // (pigz/bgzip and appended streams produce these; gzip.open decodes them
 // fully, so we must too). Returns the total decompressed size, or -1 on
 // error / insufficient capacity / trailing garbage.
+// Returns: >= 0 decompressed size; -2 output buffer too small (retryable);
+// -1 corrupt/invalid input (NOT retryable — a bigger buffer cannot help).
+// out_cap is clamped to what zlib's 32-bit uInt window can express; the
+// caller retries with a larger buffer and receives -2 again until its own
+// capacity stops growing (previously a >=4 GiB cap silently truncated).
 int64_t pt_gunzip(const uint8_t* in, int64_t in_n, uint8_t* out,
                   int64_t out_cap) {
+  const int64_t kMaxWindow = 0x7FFFF000LL;  // < UINT32_MAX, zlib-safe
+  if (out_cap > kMaxWindow) out_cap = kMaxWindow;
   z_stream zs;
   std::memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return -1;
@@ -139,7 +147,11 @@ int64_t pt_gunzip(const uint8_t* in, int64_t in_n, uint8_t* out,
   for (;;) {
     int ret = inflate(&zs, Z_FINISH);
     total += static_cast<int64_t>(zs.total_out);
-    if (ret != Z_STREAM_END) break;  // error or out of capacity
+    if (ret == Z_BUF_ERROR || (ret == Z_OK && zs.avail_out == 0)) {
+      produced = -2;                 // out of capacity: retryable
+      break;
+    }
+    if (ret != Z_STREAM_END) break;  // corrupt input: produced stays -1
     if (zs.avail_in == 0) {          // consumed the whole input: success
       produced = total;
       break;

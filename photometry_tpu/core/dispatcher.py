@@ -85,8 +85,11 @@ class ContextCache:
         if ctx is None:
             ctx = open_context(input_folder, task)
             while len(self._items) >= self.capacity:
-                _, old = self._items.popitem()
-                old.close()
+                # evict the LEAST recently used context (insertion order =
+                # recency here, since hits re-insert) — dict.popitem()
+                # would pop the MOST recent one:
+                lru_key = next(iter(self._items))
+                self._items.pop(lru_key).close()
         self._items[key] = ctx
         return ctx, True
 
@@ -124,8 +127,8 @@ def open_context(input_folder: str, task: dict, cache: str = "device"):
 def _error_result(task, ctx, tb: str) -> TargetResult:
     return TargetResult(
         starid=int(task["starid"]), method="error", status=STATUS.ERROR,
-        sector=int(task.get("sector", 0)), camera=int(task.get("camera", 0)),
-        ccd=int(task.get("ccd", 0)), cadence=int(task.get("cadence", 0)),
+        sector=int(task.get("sector") or 0), camera=int(task.get("camera") or 0),
+        ccd=int(task.get("ccd") or 0), cadence=int(task.get("cadence") or 0),
         data_rel=getattr(ctx, "data_rel", 0) or 0, target={},
         lightcurve={}, details={"errors": [tb]})
 
@@ -239,12 +242,20 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
         sids = [int(t["starid"]) for t in switch]
         logger.warning("Auto-switching %d target(s) to halo photometry", len(sids))
         try:
-            out = _run_method(ctx, sids, "halo")
+            # Same decoration as the first-pass loop: warnings captured
+            # during the halo rerun persist into the diagnostics errors
+            # column, and the result carries the task metadata.
+            with capture_warnings() as halo_messages:
+                out = _run_method(ctx, sids, "halo")
             for t, res in zip(switch, out):
                 prev_edge = results[int(t["starid"])][1].details.get("edge_flux")
                 res.details["edge_flux"] = prev_edge
                 res.details.setdefault("errors", []).append(
                     "Automatically switched to Halo photometry")
+                if halo_messages:
+                    res.details["errors"].extend(halo_messages)
+                res.details.setdefault("task", {}).update(
+                    {k: t.get(k) for k in ("priority", "datasource")})
                 results[int(t["starid"])] = (t, res)
         except Exception:
             logger.exception("Halo switch failed; keeping aperture results")
@@ -279,7 +290,12 @@ def photometry_single(starid: int, input_folder: str, method: Optional[str] = No
     """One-star entry point (reference tessphot.py call signature)."""
     task = {"starid": starid, "datasource": datasource, "sector": sector,
             "camera": camera, "ccd": ccd, "cadence": cadence, "method": method}
-    ctx = open_context(input_folder, task)
+    try:
+        # Context construction is inside the ERROR contract too (the
+        # reference wraps photometry-object construction, tessphot.py:20-49):
+        ctx = open_context(input_folder, task)
+    except Exception:
+        return _error_result(task, None, traceback.format_exc().strip())
     try:
         task.update({"sector": ctx.sector, "camera": ctx.camera, "ccd": ctx.ccd,
                      "cadence": ctx.cadence})

@@ -63,12 +63,25 @@ class ImageCube:
     def create(cls, path: str, n_times: int, shape, header: Optional[dict] = None,
                overwrite: bool = False) -> "ImageCube":
         if os.path.exists(path) and not overwrite:
+            cube = None
             try:
                 cube = cls(path, "r+")
                 if cube.n_times != n_times or cube.shape != tuple(shape):
                     raise ValueError(f"Existing cube {path} has incompatible shape")
                 return cube
-            except (OSError, KeyError):
+            except ValueError:
+                if cube is not None:
+                    cube.close()   # don't leak a write-locked handle
+                raise
+            except (OSError, KeyError) as exc:
+                # Distinguish "file locked by a concurrent reader" from a
+                # truncated/corrupt file left by a killed run: deleting a
+                # LOCKED cube would destroy a fully prepared sector that
+                # another process is actively using.  h5py lock failures
+                # carry 'unable to lock'/'file is already open' wording.
+                msg = str(exc).lower()
+                if "lock" in msg or "already open" in msg:
+                    raise
                 # Truncated/corrupt file from a killed run — recreate it.
                 # (Crash recovery is restart-based, like the reference's
                 # STARTED-reset semantics; a corrupt cube must never wedge

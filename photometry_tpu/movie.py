@@ -99,6 +99,9 @@ def make_movie(cube_path: str, output: Optional[str] = None,
     try:
         vmin, vmax = _color_scale(cube, dataset)
         T = cube.n_times if max_frames is None else min(cube.n_times, max_frames)
+        if T <= 0:
+            raise ValueError(f"No frames to render from {cube_path} "
+                             f"(T={cube.n_times}, max_frames={max_frames})")
         hdr = cube.header
         frames = []
         outdir = None
@@ -107,7 +110,7 @@ def make_movie(cube_path: str, output: Optional[str] = None,
             os.makedirs(outdir, exist_ok=True)
         for k in range(T):
             img = getattr(cube, dataset)(k, k + 1)[0]
-            fig = plt.figure(figsize=(6, 6))
+            fig = plt.figure(figsize=(6, 6), dpi=dpi)
             ax = fig.add_subplot(111)
             plot_image(img, ax=ax, scale="sqrt", vmin=vmin, vmax=vmax,
                        title=f"S{hdr.get('SECTOR', 0):02d} cam{hdr.get('CAMERA', 0)} "
@@ -145,31 +148,48 @@ def mosaic_frame(input_folder: str, sector: int, k: int = 0,
 
     Missing CCDs render as NaN blocks.  Returns the mosaic image.
     """
+    cubes = _open_mosaic_cubes(input_folder, sector)
+    try:
+        return _mosaic_from_cubes(cubes, k, dataset)
+    finally:
+        for cube in cubes.values():
+            cube.close()
+
+
+def _open_mosaic_cubes(input_folder: str, sector: int) -> dict:
+    """{(camera, ccd): open ImageCube} for every available CCD of a sector.
+
+    Resolved ONCE per movie: re-globbing and re-opening all 16 HDF5 files
+    per cadence cost ~20,000 open/lock/close cycles for one full-sector
+    combined movie.
+    """
     from .io import discovery
-    tile = None
-    blocks = {}
+    cubes = {}
     for camera in (1, 2, 3, 4):
         for ccd in (1, 2, 3, 4):
             files = discovery.find_cube_files(input_folder, sector=sector,
                                               camera=camera, ccd=ccd)
-            if not files:
-                continue
-            with ImageCube(files[0]) as cube:
-                img = getattr(cube, dataset)(k, k + 1)[0]
-            img = np.rot90(img, _MOSAIC_ROT[ccd])
-            blocks[(camera, ccd)] = img
-            tile = img.shape
-    if tile is None:
+            if files:
+                cubes[(camera, ccd)] = ImageCube(files[0])
+    if not cubes:
         raise FileNotFoundError(f"No cubes for sector {sector} in {input_folder}")
+    return cubes
+
+
+def _mosaic_from_cubes(cubes: dict, k: int, dataset: str) -> np.ndarray:
+    tile = None
+    blocks = {}
+    for (camera, ccd), cube in cubes.items():
+        img = getattr(cube, dataset)(k, k + 1)[0]
+        img = np.rot90(img, _MOSAIC_ROT[ccd])
+        blocks[(camera, ccd)] = img
+        tile = img.shape
     H, W = tile
     mosaic = np.full((4 * H, 4 * W), np.nan, np.float32)
-    for camera in (1, 2, 3, 4):
-        for ccd in (1, 2, 3, 4):
-            if (camera, ccd) not in blocks:
-                continue
-            row = (camera - 1)
-            col = (ccd - 1)
-            mosaic[row * H:(row + 1) * H, col * W:(col + 1) * W] = blocks[(camera, ccd)]
+    for (camera, ccd), img in blocks.items():
+        row = (camera - 1)
+        col = (ccd - 1)
+        mosaic[row * H:(row + 1) * H, col * W:(col + 1) * W] = img
     return mosaic
 
 
@@ -186,17 +206,22 @@ def make_combined_movie(input_folder: str, sector: int,
     as blank blocks; the colour scale is shared across the whole mosaic
     (1-99 percentiles of a frame sample).
     """
-    from PIL import Image as PILImage
-    from .io import discovery
-
     if fmt == "mp4" and not ffmpeg_available():
         raise RuntimeError("fmt='mp4' requires an ffmpeg binary on PATH "
                            "(use fmt='gif' on hosts without one)")
-    files = discovery.find_cube_files(input_folder, sector=sector)
-    if not files:
-        raise FileNotFoundError(f"No cubes for sector {sector} in {input_folder}")
-    with ImageCube(files[0]) as cube:
-        T = cube.n_times
+    cubes = _open_mosaic_cubes(input_folder, sector)
+    try:
+        return _make_combined_movie(cubes, input_folder, sector, output,
+                                    dataset, fps, max_frames, fmt, dpi)
+    finally:
+        for cube in cubes.values():
+            cube.close()
+
+
+def _make_combined_movie(cubes, input_folder, sector, output, dataset, fps,
+                         max_frames, fmt, dpi):
+    from PIL import Image as PILImage
+    T = next(iter(cubes.values())).n_times
     if max_frames is not None:
         T = min(T, max_frames)
     if T <= 0:
@@ -205,8 +230,8 @@ def make_combined_movie(input_folder: str, sector: int,
 
     # Shared colour scale from a sample of mosaics:
     idx = np.unique(np.linspace(0, T - 1, min(4, T)).astype(int))
-    samples = np.concatenate([mosaic_frame(input_folder, sector, int(k),
-                                           dataset).ravel() for k in idx])
+    samples = np.concatenate([_mosaic_from_cubes(cubes, int(k),
+                                                 dataset).ravel() for k in idx])
     samples = samples[np.isfinite(samples)]
     vmin, vmax = (np.percentile(samples, [1.0, 99.0]) if samples.size
                   else (0.0, 1.0))
@@ -218,7 +243,7 @@ def make_combined_movie(input_folder: str, sector: int,
         os.makedirs(outdir, exist_ok=True)
     frames = []
     for k in range(T):
-        mosaic = mosaic_frame(input_folder, sector, k, dataset)
+        mosaic = _mosaic_from_cubes(cubes, k, dataset)
         fig = plt.figure(figsize=(8, 8), dpi=dpi)
         ax = fig.add_subplot(111)
         plot_image(mosaic, ax=ax, scale="sqrt", vmin=float(vmin),

@@ -127,12 +127,16 @@ def gunzip(data: bytes, expected_size: int = 0) -> bytes:
         import gzip as _gz
         return _gz.decompress(data)
     cap = max(expected_size, 4 * len(data), 1 << 20)
+    inp = np.frombuffer(data, dtype=np.uint8)
     for _ in range(4):
         out = np.empty(cap, dtype=np.uint8)
-        inp = np.frombuffer(data, dtype=np.uint8)
         n = lib.pt_gunzip(inp.ctypes.data, len(data), out.ctypes.data, cap)
         if n >= 0:
             return out[:n].tobytes()
-        cap *= 4
+        if n != -2:
+            # corrupt/invalid input — a bigger buffer cannot help; go
+            # straight to the Python path for its clear error message:
+            break
+        cap *= 4          # -2: output capacity exhausted, retry bigger
     import gzip as _gz
     return _gz.decompress(data)
