@@ -118,6 +118,36 @@ def _catalog_source_mask(input_folder: str, sector: int, camera: int,
     return mask
 
 
+def _smooth_backgrounds_in_place(cube, window: int, chunk: int) -> None:
+    """Time-smooth the cube's raw backgrounds dataset in place, streamed.
+
+    Moving nanmean with shrinking edge windows (reference prepare.py:309-338),
+    computed per chunk with full ``window//2``-frame halos so interior
+    windows are complete and the result matches smoothing the whole stack at
+    once (up to blocked-cumsum f32 rounding).  The raw LEFT halo is carried
+    forward in host memory because writing block k's smoothed output
+    overwrites the raw frames block k+1 needs; the right halo is read from
+    the not-yet-overwritten tail.  Host memory stays O(chunk*H*W).
+    """
+    import jax.numpy as jnp
+    from .ops.filters import time_moving_nanmean
+    T = cube.n_times
+    H, W = cube.shape
+    half = window // 2
+    left = np.empty((0, H, W), np.float32)
+    for t0 in range(0, T, chunk):
+        t1 = min(t0 + chunk, T)
+        mid = cube.backgrounds(t0, t1)
+        right = (cube.backgrounds(t1, min(T, t1 + half))
+                 if t1 < T and half > 0 else mid[:0])
+        blk = np.concatenate([left, mid, right], axis=0)
+        sm = np.asarray(time_moving_nanmean(jnp.asarray(blk), window))
+        off = left.shape[0]
+        cube.write_block("backgrounds", t0, sm[off:off + (t1 - t0)])
+        carry = np.concatenate([left, mid], axis=0)
+        left = carry[-half:] if half > 0 else carry[:0]
+
+
 def _wcs_roundtrip_ok(wcs, shape) -> bool:
     """Validate a WCS by projecting a corner out and back (prepare.py:433-447)."""
     if wcs is None:
@@ -197,7 +227,11 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
     # ------------------------------------------------------------------
     if not cube.is_done("backgrounds"):
         logger.info("Fitting backgrounds for %d frames...", T)
-        raw_bkg = np.empty((T, H, W), np.float32)
+        # Host memory is bounded at O(chunk*H*W): raw per-chunk fits stream
+        # straight into the cube's backgrounds dataset, and the time
+        # smoothing pass below rewrites it in place from halo'd read-backs
+        # (the reference holds the full stack in a multiprocessing result
+        # list, prepare.py:184-199 — ~21 GB at T~1300 on a 2048^2 CCD).
         frames = iter_frames(files)
         for t0 in range(0, T, chunk):
             t1 = min(t0 + chunk, T)
@@ -211,19 +245,15 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
             bkg, mask_used = estimate_background(
                 stack, mask=exclude, flux_cutoff=flux_cutoff,
                 radius_image=radius_image, tile=tile)
-            raw_bkg[t0:t1] = np.asarray(bkg)
+            cube.write_block("backgrounds", t0, np.asarray(bkg))
             flags = np.where(np.asarray(mask_used),
                              PixelQualityFlags.NotUsedForBackground, 0).astype(np.uint8)
             flags |= np.where(manex, PixelQualityFlags.ManualExclude, 0).astype(np.uint8)
             cube.write_block("pixelflags", t0, flags)
-        # Smooth over the time axis (window 3 @1800s / 9 @600s), with the
-        # framework's own device moving-window kernel (nanmean semantics of
-        # reference prepare.py:309-338):
+        # Smooth over the time axis (window 3 @1800s / 9 @600s) with the
+        # framework's device moving-window kernel, streamed in place:
         logger.info("Smoothing backgrounds in time (window %d)...", time_smooth)
-        from .ops.filters import time_moving_nanmean_blocked
-        smooth = time_moving_nanmean_blocked(raw_bkg, window=time_smooth,
-                                             block=chunk)
-        cube.write_block("backgrounds", 0, smooth)
+        _smooth_backgrounds_in_place(cube, time_smooth, chunk)
         cube.attrs["time_smooth"] = time_smooth
         cube.attrs["bkgshe_threshold"] = bkgshe_threshold
         cube.mark_done("backgrounds")
@@ -313,13 +343,21 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
     # ------------------------------------------------------------------
     if not cube.is_done("shenanigans"):
         logger.info("Detecting background shenanigans...")
-        import jax
         sumimage = cube.sumimage.astype(np.float32)
-        resid = np.empty((T, H, W), np.float32)
+        # The residual stack is needed twice (robust-mean pass over shuffled
+        # 25-frame blocks, then the flagging pass), so it spills to a
+        # transient scratch dataset in the cube file instead of host RAM
+        # (~21 GB at full-CCD scale); the median filter runs once per frame.
+        if "_scratch_resid" in cube.h5:
+            del cube.h5["_scratch_resid"]
+        scratch = cube.h5.create_dataset(
+            "_scratch_resid", shape=(T, H, W), dtype="f4",
+            chunks=(1, min(H, 512), min(W, 512)),
+            compression="lzf", shuffle=True)
         for t0 in range(0, T, chunk):
             t1 = min(t0 + chunk, T)
             imgs = np.nan_to_num(cube.images(t0, t1))
-            resid[t0:t1] = shenanigans_residual(imgs, sumimage)
+            scratch[t0:t1] = shenanigans_residual(imgs, sumimage)
         # Robust mean: mean of medians over shuffled blocks of 25
         # (prepare.py:549-573):
         block = 25
@@ -328,7 +366,8 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
         mean_she = np.zeros((H, W), np.float64)
         nblocks = 0
         for k in range(0, T, block):
-            med = np.nanmedian(resid[order[k:k + block]], axis=0)
+            idx = np.sort(order[k:k + block])  # h5py wants increasing indices
+            med = np.nanmedian(scratch[idx], axis=0)
             mean_she += np.nan_to_num(med)
             nblocks += 1
         mean_she /= max(nblocks, 1)
@@ -336,10 +375,11 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
         for t0 in range(0, T, chunk):
             t1 = min(t0 + chunk, T)
             flags = cube.pixelflags(t0, t1)
-            she = np.abs(resid[t0:t1] - mean_she[None]) > bkgshe_threshold
+            she = np.abs(scratch[t0:t1] - mean_she[None]) > bkgshe_threshold
             flags = (flags & ~np.uint8(PixelQualityFlags.BackgroundShenanigans))
             flags |= np.where(she, PixelQualityFlags.BackgroundShenanigans, 0).astype(np.uint8)
             cube.write_block("pixelflags", t0, flags)
+        del cube.h5["_scratch_resid"]
         cube.mark_done("shenanigans")
 
     # ------------------------------------------------------------------

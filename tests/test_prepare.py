@@ -117,6 +117,58 @@ def test_quality_from_tpf(sim, tmp_path):
     assert np.all((q & ~TESSQualityFlags.FFI_RELEVANT_BITMASK) == 0)
 
 
+def test_smooth_backgrounds_in_place_matches_global(tmp_path):
+    """The in-place streamed smoothing must match one-shot smoothing.
+
+    The carry logic matters: writing block k's smoothed output overwrites
+    the raw frames block k+1 needs as its left halo, so the helper carries
+    them in host memory.  Tolerance covers only blocked-vs-full cumsum f32
+    rounding (the windows themselves are identical).
+    """
+    import jax.numpy as jnp
+    from photometry_tpu.ops.filters import time_moving_nanmean
+    from photometry_tpu.prepare import _smooth_backgrounds_in_place
+    rng = np.random.default_rng(5)
+    T, H, W = 17, 24, 24
+    raw = (100 + 10 * rng.standard_normal((T, H, W))).astype(np.float32)
+    raw[3, 5, 5] = np.nan  # nanmean semantics cross the halo boundary
+    expected = np.asarray(time_moving_nanmean(jnp.asarray(raw), 3))
+    path = str(tmp_path / "smooth.h5")
+    cube = ImageCube.create(path, T, (H, W))
+    cube.write_block("backgrounds", 0, raw)
+    _smooth_backgrounds_in_place(cube, window=3, chunk=4)
+    got = cube.backgrounds()
+    cube.close()
+    np.testing.assert_allclose(got, expected, rtol=2e-6, atol=1e-4)
+
+
+def test_streamed_chunks_match_single_shot(tmp_path_factory):
+    """Chunked streaming (chunk < T) must match the one-shot path.
+
+    Stage 1 now writes raw backgrounds to the cube and re-reads halo'd
+    blocks for the time smoothing, and stage 3 spills residuals to an
+    on-disk scratch dataset.  XLA compiles different reduction orders for
+    different batch shapes, so f32 results agree only to rounding — the
+    tolerance here bounds that; the plumbing (halos, carry, scratch) would
+    show up as O(1) errors.
+    """
+    small = simulate_sector(SimConfig(shape=(64, 64), n_times=14, n_stars=12,
+                                      seed=21))
+    cubes = {}
+    for chunk in (4, 64):
+        d = str(tmp_path_factory.mktemp(f"prepstream{chunk}"))
+        small.write_ffis(d)
+        cubes[chunk] = prepare_one(d, 1, 3, 2, chunk=chunk)
+    with ImageCube(cubes[4]) as a, ImageCube(cubes[64]) as b:
+        np.testing.assert_allclose(a.backgrounds(), b.backgrounds(),
+                                   rtol=1e-3, atol=0.05)
+        np.testing.assert_array_equal(a.pixelflags(), b.pixelflags())
+        np.testing.assert_allclose(np.nan_to_num(a.images()),
+                                   np.nan_to_num(b.images()),
+                                   rtol=1e-3, atol=0.05)
+        assert "_scratch_resid" not in a.h5  # scratch cleaned up
+
+
 def test_movement_kernel_stage(sim, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("prepmk"))
     small = simulate_sector(SimConfig(shape=(64, 64), n_times=6, n_stars=15,
