@@ -206,16 +206,20 @@ class PRF:
                                vt[:k].T.astype(np.float32))
         return self._svd_cache
 
-    def _axis_padded_table(self, F, n: int):
-        """Zero-padded factor table + static row offsets for the one-hot
-        axis evaluation.
+    def _axis_folded_table(self, F, n: int):
+        """Phase-folded zero-padded factor table for the one-hot axis
+        evaluation.
 
-        ``Fz`` covers every row index ``b + i*oversample + j`` reachable
-        while any query is inside the table's domain (b clamped into that
-        range; fully-out-of-domain coords are zeroed by the validity mask
-        in :meth:`_axis_values`).  ``offs[(i, j)]`` are the static offsets
-        from ``b``.  Cached as small host arrays (tens of KB) — safe to
-        embed as jit constants, and never traced (caching a traced
+        ``F4[j*os + r, m, k] = Fz[m*os + r + j]`` covers every row index
+        ``b + i*oversample + j`` reachable while any query is inside the
+        table's domain (b clamped into that range; fully-out-of-domain
+        coords are zeroed by the validity mask in :meth:`_axis_values`).
+        Folding by the integer oversample phase lets the selection run as
+        a (4*os,)-wide weighted one-hot matmul plus an (Lm, n) band matmul
+        instead of a (4n, Lz) one-hot — the (4n, Lz) matrices dominated
+        HBM traffic at LM-fit batch scale (~70 GB/iteration at
+        N*T=126k, S=4).  Cached as small host arrays (tens of KB) — safe
+        to embed as jit constants, and never traced (caching a traced
         ``device_put`` here leaked tracers out of scan bodies).
         """
         cache = getattr(self, "_axis_mm_cache", None)
@@ -232,12 +236,17 @@ class PRF:
             L0, K = Fh.shape
             b_lo = -(n - 1) * os_ - 1
             b_hi = L0 - 2
-            Lz = (b_hi - b_lo) + (n - 1) * os_ + 4
-            Fz = np.zeros((Lz, K), np.float32)
+            # Row budget: max clamped base (b_hi - b_lo) plus the largest
+            # static offset (n-1)*os + 3, plus one spare fold row:
+            Lm = ((b_hi - b_lo) + (n - 1) * os_ + 4 + os_ - 1) // os_ + 1
+            Fz = np.zeros((Lm * os_ + 3, K), np.float32)
             Fz[-b_lo:-b_lo + L0] = Fh
-            offs = (np.arange(n, dtype=np.int32)[:, None] * os_
-                    + np.arange(4, dtype=np.int32)[None, :]).reshape(-1)
-            hit = cache[key] = (F, (b_lo, b_hi, Lz, offs, Fz))
+            F4 = np.stack([Fz[j:j + Lm * os_].reshape(Lm, os_, K)
+                           for j in range(4)])              # (4, Lm, os, K)
+            # (4*os, Lm*K) matmul layout, row index = j*os + r:
+            F4 = np.ascontiguousarray(F4.transpose(0, 2, 1, 3)
+                                      ).reshape(4 * os_, Lm * K)
+            hit = cache[key] = (F, (b_lo, b_hi, Lm, F4))
         return hit[1]
 
     def _axis_values(self, F, center: float, coord, n: int,
@@ -246,15 +255,17 @@ class PRF:
         arithmetic queries y_i = (i - coord)*oversample + center, i < n.
 
         The stride is the (integer) oversample, so all n queries share one
-        fractional phase; the 4n needed table rows are selected with a
-        (4n, Lz) one-hot matmul against the zero-padded factor table
-        (:meth:`_axis_padded_table`) — gather-free (a batched
-        dynamic_slice lowers to a row gather, pathological on TPU:
-        CLAUDE.md, ops/bandext.py use the same replacement), exact
-        (0/1 one-hot, f32 HIGHEST).
+        fractional phase r0 = base mod os; the needed table rows are
+        selected gather-free (a batched dynamic_slice lowers to a row
+        gather, pathological on TPU: CLAUDE.md, ops/bandext.py use the
+        same replacement) via two exact one-hot matmuls against the
+        phase-folded table (:meth:`_axis_folded_table`): a (4*os,)-wide
+        Catmull-Rom-weighted phase one-hot, then an (Lm, n) band one-hot
+        selecting the n strided folds — ~26x less one-hot traffic than
+        the earlier (4n, Lz) formulation at LM-fit batch scale.
 
-        With ``with_grad`` also returns d(vals)/d(coord): the SAME four
-        phase rows combined with the derivative basis weights (times the
+        With ``with_grad`` also returns d(vals)/d(coord): the SAME folds
+        combined with the derivative basis weights (times the
         -oversample chain factor) — analytically exact and nearly free,
         which is what makes the table-PRF LM Jacobian closed-form
         (Catmull-Rom is C^1, so the derivative is continuous across cells).
@@ -265,16 +276,21 @@ class PRF:
         fl = jnp.floor(y0)
         b = fl.astype(jnp.int32) - 1
         t = (y0 - fl).astype(jnp.float32)
-        b_lo, b_hi, Lz, offs, Fz = self._axis_padded_table(F, n)
+        b_lo, b_hi, Lm, F4 = self._axis_folded_table(F, n)
         idx = jnp.clip(b, b_lo, b_hi) - b_lo
-        rowpos = idx + jnp.asarray(offs)                       # (4n,)
-        oh = (jnp.arange(Lz, dtype=jnp.int32)[None, :]
-              == rowpos[:, None]).astype(jnp.float32)          # (4n, Lz)
-        sel = jnp.einsum("rl,lk->rk", oh, jnp.asarray(Fz),
-                         precision=jax.lax.Precision.HIGHEST)
-        sel = sel.reshape(n, 4, K)
+        m0 = idx // os_
+        r0 = idx - m0 * os_
+        hi = jax.lax.Precision.HIGHEST
         wb = jnp.stack([jnp.ones_like(t), t, t * t, t * t * t]) @ _CRM_NP  # (4,)
-        vals = sum(wb[j] * sel[:, j] for j in range(4))
+        ohr = (jnp.arange(os_, dtype=jnp.int32) == r0).astype(jnp.float32)
+        # Weighted phase one-hot: w4[j*os + r] = wb[j] * (r == r0):
+        w4 = (wb[:, None] * ohr[None, :]).reshape(4 * os_)
+        Bw = jnp.matmul(w4, jnp.asarray(F4), precision=hi).reshape(Lm, K)
+        # Band one-hot over the folds: fold m0 + i holds query i's rows:
+        ohm = (jnp.arange(Lm, dtype=jnp.int32)[:, None]
+               == m0 + jnp.arange(n, dtype=jnp.int32)[None, :]
+               ).astype(jnp.float32)                           # (Lm, n)
+        vals = jnp.einsum("mn,mk->nk", ohm, Bw, precision=hi)
         y_i = y0 + os_ * jnp.arange(n, dtype=jnp.float32)
         valid = (y_i >= 0) & (y_i <= L0 - 1)
         vals = jnp.where(valid[:, None], vals, 0.0)
@@ -282,7 +298,10 @@ class PRF:
             return vals
         zero = jnp.zeros_like(t)
         dwb = jnp.stack([zero, jnp.ones_like(t), 2 * t, 3 * t * t]) @ _CRM_NP
-        dvals = sum(dwb[j] * sel[:, j] for j in range(4)) * jnp.float32(-os_)
+        dw4 = (dwb[:, None] * ohr[None, :]).reshape(4 * os_)
+        dBw = jnp.matmul(dw4, jnp.asarray(F4), precision=hi).reshape(Lm, K)
+        dvals = jnp.einsum("mn,mk->nk", ohm, dBw,
+                           precision=hi) * jnp.float32(-os_)
         return vals, jnp.where(valid[:, None], dvals, 0.0)
 
     def _render_separable(self, params, shape, cutoff_radius):

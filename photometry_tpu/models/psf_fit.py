@@ -83,13 +83,18 @@ def make_psf_fitter(prf, shape, S: int, lhood_stat: str = "Gaussian_d",
         Jacobian through separate subgraphs (render + analytic/separable
         jac), tripling the traced table-evaluation code per LM step; XLA
         CSE merged most of it at runtime but the compile paid for the
-        redundancy (~40% of the 6.8 s table-path phase-2 compile)."""
+        redundancy (~40% of the 6.8 s table-path phase-2 compile).
+
+        Pieces stay in the renderer's native (S, h, w) layout: the (h, w, S)
+        moveaxis of the earlier code forced three (N*T)-sized transpose
+        passes through HBM per LM iteration for zero mathematical content.
+        """
         rows, cols, fluxes = _unpack(p, S)
         if prf.has_analytic_grads:
-            rr = jnp.arange(h, dtype=jnp.float32)[:, None, None]
-            cc = jnp.arange(w, dtype=jnp.float32)[None, :, None]
-            drow = rr - rows[None, None, :]
-            dcol = cc - cols[None, None, :]
+            rr = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+            cc = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+            drow = rr - rows[:, None, None]                   # (S, h, w)
+            dcol = cc - cols[:, None, None]
             q, qy, qx = prf.pixel_fraction_grads(drow, dcol)
             cut = drow ** 2 + dcol ** 2 < CUTOFF_RADIUS ** 2
             q = jnp.where(cut, q, 0.0)
@@ -100,44 +105,61 @@ def make_psf_fitter(prf, shape, S: int, lhood_stat: str = "Gaussian_d",
         elif prf._grid_separable:
             q, qr, qc = prf.render_separable_with_grads(rows, cols, (h, w),
                                                         CUTOFF_RADIUS)
-            q = jnp.moveaxis(q, 0, -1)                    # (h, w, S)
-            qr = jnp.moveaxis(qr, 0, -1)
-            qc = jnp.moveaxis(qc, 0, -1)
         else:
             return render(p), None
-        mdl = jnp.sum(q * fluxes[None, None, :], axis=-1)
+        mdl = jnp.einsum("shw,s->hw", q, fluxes)
         return mdl, (q, qr, qc, fluxes)
+
+    def normal_eq(pieces, wmap, diff):
+        """(JtJ, Jt(-r)) of the weighted least squares WITHOUT materialising
+        the (h*w, 3S) Jacobian.  J = -sqrt(w) * A^T with A the (3S, h*w)
+        unweighted derivative stack, so JtJ = (A*w) A^T and
+        J^T r = -(A*w) diff for diff = img - model.  One stacked buffer and
+        one MXU matmul replace the earlier sqrt/3x-scale/concat/J-transpose
+        chain (~6 full passes over an (N,T,h*w,3S) tensor per iteration —
+        the profiled 45 ms/iter of unexplained phase-2 wall)."""
+        q, qr, qc, fluxes = pieces
+        fs = fluxes[:, None, None]
+        A = jnp.concatenate([fs * qr, fs * qc, q], axis=0).reshape(3 * S, h * w)
+        Aw = A * wmap.reshape(1, h * w)
+        JtJ = Aw @ A.T
+        Jtg = Aw @ diff.ravel()                       # = -(J^T r)
+        return JtJ, Jtg
 
     def fit(img, bkg, var_const, p0, valid):
         good = jnp.isfinite(img)
         img0 = jnp.nan_to_num(img)
+        # Gaussian_d weights depend only on the data — hoist out of the LM
+        # scan (the reference recomputes per function evaluation, but the
+        # value is identical: psf_photometry.py:52-108 uses img+bkg).
+        wconst = (weights(img0, bkg, None, var_const) * good
+                  if lhood_stat == "Gaussian_d" else None)
+        par_valid = jnp.concatenate([valid, valid, valid]).astype(jnp.float32)
+        pv_outer = par_valid[:, None] * par_valid[None, :]
+
+        def wls_terms(p):
+            """(model, JtJ, Jtg) at p, dummy-star rows/cols zeroed."""
+            mdl, pieces = model_and_jac(p)
+            wmap = (wconst if wconst is not None
+                    else weights(img0, bkg, mdl, var_const) * good)
+            if pieces is not None:
+                JtJ, Jtg = normal_eq(pieces, wmap, img0 - mdl)
+            else:
+                sw = jnp.sqrt(wmap).ravel()
+                J = jax.jacfwd(
+                    lambda pp: sw * (img0 - render(pp)).ravel())(p)
+                JtJ = J.T @ J
+                Jtg = -(J.T @ (sw * (img0 - mdl).ravel()))
+            # Freeze parameters of dummy stars:
+            return mdl, JtJ * pv_outer, Jtg * par_valid
 
         def step(p, _):
-            mdl, pieces = model_and_jac(p)
-            wmap = weights(img0, bkg, mdl, var_const) * good
-            sw = jnp.sqrt(wmap).ravel()
-            r = sw * (img0 - mdl).ravel()
-            if pieces is not None:
-                q, qr, qc, fluxes = pieces
-                swg = sw.reshape(h, w, 1)
-                # resid = sw*(img0 - model); d model/d row_s = flux_s * qr:
-                j_row = (-swg * fluxes * qr).reshape(h * w, S)
-                j_col = (-swg * fluxes * qc).reshape(h * w, S)
-                j_flux = (-swg * q).reshape(h * w, S)
-                J = jnp.concatenate([j_row, j_col, j_flux], axis=1)
-            else:
-                def resid(pp):
-                    return sw * (img0 - render(pp)).ravel()
-                J = jax.jacfwd(resid)(p)                  # (h*w, 3S)
-            # Freeze parameters of dummy stars:
-            par_valid = jnp.concatenate([valid, valid, valid]).astype(J.dtype)
-            J = J * par_valid[None, :]
-            JtJ = J.T @ J
+            _, JtJ, Jtg = wls_terms(p)
             damp = LM_LAMBDA * jnp.diag(jnp.diag(JtJ)) + 1e-8 * jnp.eye(3 * S)
             # Gauss-Newton: linearise r(p+dp) ~ r + J dp -> dp = -(JtJ)^-1 Jt r.
             # Statically-unrolled Cholesky: XLA's batched LU ran ~27x slower
             # for the (N*T, 3S, 3S) tiny systems (ops/smallsolve.py).
-            dp = -solve_spd_small(JtJ + damp, J.T @ r)
+            dp = solve_spd_small(JtJ + damp, Jtg)
             p_new = p + dp * par_valid
             rows, cols, fluxes = _unpack(p_new, S)
             # Physical constraints (reference prior: flux >= 0).  Clip only
@@ -155,19 +177,7 @@ def make_psf_fitter(prf, shape, S: int, lhood_stat: str = "Gaussian_d",
         # Flux covariance from the final Jacobian.  Dummy-star columns are
         # exactly zero, so regularise relative to the largest diagonal entry
         # (a plain inv of the near-singular matrix yields NaNs in f32):
-        mdl, pieces = model_and_jac(p)
-        wmap = weights(img0, bkg, mdl, var_const) * good
-        sw = jnp.sqrt(wmap).ravel()
-        if pieces is not None:
-            q, qr, qc, fluxes = pieces
-            swg = sw.reshape(h, w, 1)
-            J = jnp.concatenate(
-                [(-swg * fluxes * qr).reshape(h * w, S),
-                 (-swg * fluxes * qc).reshape(h * w, S),
-                 (-swg * q).reshape(h * w, S)], axis=1)
-        else:
-            J = jax.jacfwd(lambda pp: sw * (img0 - render(pp)).ravel())(p)
-        JtJ = J.T @ J
+        mdl, JtJ, _ = wls_terms(p)
         ridge = 1e-6 * jnp.maximum(jnp.max(jnp.diag(JtJ)), 1.0)
         flux_var = spd_inverse_diag_small(
             JtJ + ridge * jnp.eye(3 * S))[2 * S:]
