@@ -22,6 +22,11 @@ def main(argv=None) -> int:
     parser.add_argument("--movement-kernel", action="store_true",
                         help="Also compute ECC movement kernels.")
     parser.add_argument("-o", "--output", default=None)
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="This host's index in a static multi-host split "
+                             "of the CCD list (with --num-processes).")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="Total hosts in a static multi-host split.")
     parser.add_argument("input_folder", nargs="?", default=None)
     args = parser.parse_args(argv)
     setup_logging(args)
@@ -31,6 +36,8 @@ def main(argv=None) -> int:
     paths = prepare_photometry(input_folder, output_folder=args.output,
                                sectors=args.sector, cameras=args.camera,
                                ccds=args.ccd,
+                               process_id=args.process_id,
+                               process_count=args.num_processes,
                                calc_movement_kernel=args.movement_kernel)
     for p in paths:
         print(p)

@@ -446,11 +446,19 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
 
 
 def prepare_photometry(input_folder: str, output_folder: Optional[str] = None,
-                       sectors=None, cameras=None, ccds=None, **kw) -> list:
+                       sectors=None, cameras=None, ccds=None,
+                       process_id: Optional[int] = None,
+                       process_count: Optional[int] = None, **kw) -> list:
     """Prepare all discovered (sector, camera, ccd) combinations.
 
     Counterpart of reference prepare.py:79-206 (discovery + loop); each
     combination runs :func:`prepare_one`.
+
+    Multi-host fleets split the CCD list statically: pass
+    ``process_id``/``process_count`` explicitly, or initialize
+    ``parallel.multihost`` first and every host takes its round-robin
+    shard automatically (CCD cubes are independent, share-nothing work —
+    the same split the reference leaves to manual per-rank invocation).
     """
     combos = set()
     for f in discovery.find_ffi_files(input_folder):
@@ -462,8 +470,17 @@ def prepare_photometry(input_folder: str, output_folder: Optional[str] = None,
         if ccds is not None and info["ccd"] not in np.atleast_1d(ccds):
             continue
         combos.add((info["sector"], info["camera"], info["ccd"]))
+    combos = sorted(combos)
+    if process_count is not None or process_id is not None:
+        if process_count is None or process_id is None:
+            raise ValueError("process_id and process_count must be given together")
+        combos = combos[process_id::max(process_count, 1)]
+    else:
+        from .parallel import multihost
+        if multihost.is_initialized():
+            combos = multihost.process_shard(combos)
     out = []
-    for sector, camera, ccd in sorted(combos):
+    for sector, camera, ccd in combos:
         out.append(prepare_one(input_folder, sector, camera, ccd,
                                output_folder=output_folder, **kw))
     return out

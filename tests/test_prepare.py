@@ -187,3 +187,40 @@ def test_movement_kernel_stage(sim, tmp_path_factory):
         drow = small.jitter[:, 0] - small.jitter[ref, 0]
         np.testing.assert_allclose(k[:, 0], dcol, atol=0.08)
         np.testing.assert_allclose(k[:, 1], drow, atol=0.08)
+
+
+def test_prepare_photometry_process_split(monkeypatch):
+    """Static multi-host split of the CCD list (prepare_cmd --process-id /
+    --num-processes; reference prepare.py:79-206 has no split — one rank
+    does every CCD)."""
+    from photometry_tpu import prepare as prep
+
+    files = [f"ffi_1_{cam}_{ccd}.fits" for cam in (1, 2) for ccd in (1, 2)]
+    monkeypatch.setattr(prep.discovery, "find_ffi_files", lambda d: files)
+    monkeypatch.setattr(
+        prep.discovery, "parse_ffi_filename",
+        lambda f: dict(zip(("sector", "camera", "ccd"),
+                           map(int, f[:-5].split("_")[1:]))))
+    seen = []
+
+    def fake_prepare_one(inp, sector, camera, ccd, output_folder=None, **kw):
+        seen.append((sector, camera, ccd))
+        return f"{sector}-{camera}-{ccd}"
+
+    monkeypatch.setattr(prep, "prepare_one", fake_prepare_one)
+
+    out0 = prep.prepare_photometry("x", process_id=0, process_count=2)
+    out1 = prep.prepare_photometry("x", process_id=1, process_count=2)
+    assert len(out0) == 2 and len(out1) == 2
+    assert sorted(seen) == [(1, 1, 1), (1, 1, 2), (1, 2, 1), (1, 2, 2)]
+
+    with pytest.raises(ValueError, match="together"):
+        prep.prepare_photometry("x", process_id=0)
+
+    # Auto-shard when the multihost layer is initialized:
+    from photometry_tpu.parallel import multihost
+    monkeypatch.setattr(multihost, "is_initialized", lambda: True)
+    monkeypatch.setattr(multihost, "process_shard", lambda items: list(items)[1::2])
+    seen.clear()
+    out = prep.prepare_photometry("x")
+    assert len(out) == 2 and seen == [(1, 1, 2), (1, 2, 2)]
