@@ -26,6 +26,12 @@ def main(argv=None) -> int:
     parser.add_argument("--sector", type=int, default=None, action="append")
     parser.add_argument("--camera", type=int, default=None, action="append")
     parser.add_argument("--ccd", type=int, default=None, action="append")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="This host's index in a static multi-host split "
+                             "of the cube list (with --num-processes); the "
+                             "reference parallelizes run_ffimovie.py over a "
+                             "local pool only.")
+    parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("input_folder", nargs="?", default=None)
     args = parser.parse_args(argv)
     setup_logging(args)
@@ -33,6 +39,18 @@ def main(argv=None) -> int:
 
     from ..io import discovery
     from ..movie import make_movie, make_combined_movie
+    from ..parallel import multihost
+
+    def shard(items):
+        if args.process_id is not None or args.num_processes is not None:
+            if args.process_id is None or args.num_processes is None:
+                parser.error("--process-id and --num-processes go together")
+            return multihost.process_shard(items, args.process_id,
+                                           args.num_processes)
+        if multihost.is_initialized():
+            return multihost.process_shard(items)
+        return items
+
     if args.combined:
         from ..io.cube import ImageCube
         sectors = args.sector
@@ -42,7 +60,7 @@ def main(argv=None) -> int:
         if not sectors:
             print("No cube files found.", file=sys.stderr)
             return 1
-        for sector in sectors:
+        for sector in shard(sorted(sectors)):
             print(make_combined_movie(input_folder, int(sector),
                                       dataset=args.dataset, fps=args.fps,
                                       max_frames=args.frames, fmt=args.fmt))
@@ -55,7 +73,7 @@ def main(argv=None) -> int:
     if not cubes:
         print("No cube files found.", file=sys.stderr)
         return 1
-    for cube in cubes:
+    for cube in shard(cubes):
         print(make_movie(cube, dataset=args.dataset, fps=args.fps,
                          max_frames=args.frames, fmt=args.fmt))
     return 0

@@ -109,3 +109,22 @@ def test_mp4_capability_gate(prepared, monkeypatch):
     # and the gate is purely capability-based:
     monkeypatch.setattr(shutil, "which", lambda _: None)
     assert not movie.ffmpeg_available()
+
+
+def test_movie_cli_process_shard(prepared, monkeypatch):
+    """Static multi-host split of the cube list (movie_cmd --process-id /
+    --num-processes; reference run_ffimovie.py pools locally only)."""
+    sim, d = prepared
+    from photometry_tpu.cli import movie_cmd
+    seen = []
+    monkeypatch.setattr("photometry_tpu.movie.make_movie",
+                        lambda cube, **kw: seen.append(cube) or f"{cube}.gif")
+    # One cube in the sim: shard 0/2 renders it, shard 1/2 is a no-op.
+    assert movie_cmd.main(["-q", "--process-id", "0", "--num-processes", "2",
+                           d]) == 0
+    assert len(seen) == 1
+    assert movie_cmd.main(["-q", "--process-id", "1", "--num-processes", "2",
+                           d]) == 0
+    assert len(seen) == 1
+    with pytest.raises(SystemExit):
+        movie_cmd.main(["-q", "--process-id", "0", d])
