@@ -86,12 +86,19 @@ def initialize(coordinator_address: Optional[str] = None,
     if _initialized:
         return jax.process_index()
     explicit = coordinator_address is not None
-    autodetectable = any(v in os.environ for v in (
+    # PHOTOMETRY_TPU_MULTIHOST=1 forces the jax.distributed autodetect path
+    # on clusters whose coordination channel is not in the env-var list below
+    # (e.g. GKE/TPU-pod metadata servers).
+    forced = os.environ.get("PHOTOMETRY_TPU_MULTIHOST", "") not in ("", "0")
+    autodetectable = forced or any(v in os.environ for v in (
         "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES",
         "JAX_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID"))
     if not explicit and not autodetectable:
-        logger.debug("multihost.initialize: no coordinator and no cluster "
-                     "environment — single-host no-op")
+        logger.warning(
+            "multihost.initialize: no coordinator address and no recognised "
+            "cluster environment — running single-host. If this IS a pod "
+            "slice, set PHOTOMETRY_TPU_MULTIHOST=1 to force the "
+            "jax.distributed autodetect path.")
         return 0
     kwargs = {}
     if explicit:
@@ -178,11 +185,21 @@ def process_shard(items: Sequence, process_id: Optional[int] = None,
     Round-robin (``items[pid::count]``) so heterogeneous item costs
     self-balance about as well as a static split can; use the pull scheduler
     when true dynamic balancing matters.
+
+    Raises on an inconsistent (pid, count) pair: a misconfiguration (1-based
+    ids, count=0) would otherwise silently hand two hosts overlapping shards
+    and have them write the same output files concurrently.
     """
     import jax
     pid = jax.process_index() if process_id is None else process_id
     count = jax.process_count() if process_count is None else process_count
-    return list(items)[pid:: max(count, 1)]
+    if count < 1:
+        raise ValueError(f"process_count must be >= 1, got {count}")
+    if not 0 <= pid < count:
+        raise ValueError(
+            f"process_id {pid} outside [0, {count}) — ids are 0-based; an "
+            f"out-of-range id would silently overlap another host's shard")
+    return list(items)[pid::count]
 
 
 def local_data_slice(n_rows: int, mesh=None, axis: str = TIME_AXIS,
@@ -206,13 +223,23 @@ def local_data_slice(n_rows: int, mesh=None, axis: str = TIME_AXIS,
     axis_idx = list(mesh.axis_names).index(axis)
     pid = jax.process_index() if process_id is None else process_id
     # Rows of `axis` owned by this process, in mesh coordinate order.
+    rows = np.moveaxis(mesh.devices, axis_idx, 0)
     coords = [i for i in range(n_axis)
               if any(getattr(d, "process_index", 0) == pid
-                     for d in np.moveaxis(mesh.devices, axis_idx, 0)[i].flat)]
+                     for d in rows[i].flat)]
     if not coords:
         raise ValueError(f"process {pid} owns no devices on axis {axis!r}")
     lo, hi = min(coords), max(coords)
     if coords != list(range(lo, hi + 1)):
         raise ValueError("process-local rows are not contiguous — was the "
                          "mesh built by global_mesh()?")
+    # Exclusive ownership: a row mixing hosts would hand two processes
+    # overlapping "local" slices while each passes the contiguity check.
+    for i in coords:
+        owners = {getattr(d, "process_index", 0) for d in rows[i].flat}
+        if owners != {pid}:
+            raise ValueError(
+                f"axis {axis!r} row {i} is shared by processes "
+                f"{sorted(owners)} — rows must be exclusively owned; was "
+                f"the mesh built by global_mesh()?")
     return slice(lo * per, (hi + 1) * per)

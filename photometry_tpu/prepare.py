@@ -471,14 +471,13 @@ def prepare_photometry(input_folder: str, output_folder: Optional[str] = None,
             continue
         combos.add((info["sector"], info["camera"], info["ccd"]))
     combos = sorted(combos)
+    from .parallel import multihost
     if process_count is not None or process_id is not None:
         if process_count is None or process_id is None:
             raise ValueError("process_id and process_count must be given together")
-        combos = combos[process_id::max(process_count, 1)]
-    else:
-        from .parallel import multihost
-        if multihost.is_initialized():
-            combos = multihost.process_shard(combos)
+        combos = multihost.process_shard(combos, process_id, process_count)
+    elif multihost.is_initialized():
+        combos = multihost.process_shard(combos)
     out = []
     for sector, camera, ccd in combos:
         out.append(prepare_one(input_folder, sector, camera, ccd,

@@ -113,9 +113,33 @@ def test_process_shard_round_robin():
     assert sorted(sum(shards, [])) == items
 
 
+def test_process_shard_rejects_bad_ids():
+    # 1-based ids (pid == count) would silently overlap host 0's shard.
+    with pytest.raises(ValueError, match="0-based"):
+        multihost.process_shard([1, 2, 3], process_id=3, process_count=3)
+    with pytest.raises(ValueError, match="0-based"):
+        multihost.process_shard([1, 2, 3], process_id=-1, process_count=3)
+    # count < 1 would hand every host a near-full overlapping list.
+    with pytest.raises(ValueError, match="process_count"):
+        multihost.process_shard([1, 2, 3], process_id=0, process_count=0)
+
+
+def test_local_data_slice_rejects_shared_rows():
+    # A hand-built mesh where a time row mixes two hosts: both processes
+    # pass the contiguity check but would get overlapping "local" slices.
+    devs = _fleet(2, 2)
+    ordered = multihost._order_devices(devs, n_targets=1)
+    mixed = np.asarray([[ordered[0], ordered[2]],
+                        [ordered[1], ordered[3]]], dtype=object)
+    mesh = FakeMesh(mixed, (TIME_AXIS, TARGET_AXIS))
+    with pytest.raises(ValueError, match="exclusively owned"):
+        multihost.local_data_slice(8, mesh, process_id=0)
+
+
 def test_initialize_noop_without_cluster(monkeypatch):
     for v in ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES",
-              "JAX_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID"):
+              "JAX_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID",
+              "PHOTOMETRY_TPU_MULTIHOST"):
         monkeypatch.delenv(v, raising=False)
     assert multihost.initialize() == 0
     assert not multihost.is_initialized()
