@@ -116,8 +116,6 @@ def ecc_align(ref, img, mode: str = "euclidian", n_iters: int = 50,
     # avoid border effects of the warp sampling:
     valid = valid.at[:2, :].set(0).at[-2:, :].set(0).at[:, :2].set(0).at[:, -2:].set(0)
 
-    gref = _normalize(ref, valid)
-
     n_params = N_PARAMS[mode]
     if mode == "affine":
         # affine params are the full 2x3 matrix — identity start, not zeros:
@@ -162,25 +160,39 @@ def ecc_align(ref, img, mode: str = "euclidian", n_iters: int = 50,
         jx, jy = jac_columns(p, wx, wy)
         # dW/dp on the (H, W, P) grid:  (note gx is d/dcol, gy is d/drow)
         J = dwy[..., None] * jy + dwx[..., None] * jx
-        wmask = valid
-        # ECC update (Evangelidis & Psarakis): work with zero-mean images.
+        # The support mask follows the warp: pixels whose warped coordinates
+        # fall outside the image are excluded, exactly as OpenCV excludes
+        # them by warping the input mask with border value 0.  With a fixed
+        # mask, clamped border samples bias the fixed point by up to
+        # ~0.03 px at ~2 px shifts (measured vs cv2.findTransformECC).
+        inb = ((wx >= 0.0) & (wx <= W - 1.001)
+               & (wy >= 0.0) & (wy <= H - 1.001)).astype(jnp.float32)
+        wmask = valid * inb
+        # Full ECC update (Evangelidis & Psarakis 2008, eqs. 32-34 — the
+        # same update OpenCV's findTransformECC implements).  Work in the
+        # zero-mean subspace: images are zero-meaned over the valid region
+        # and the Jacobian columns are mean-projected into that subspace.
         n = jnp.maximum(jnp.sum(wmask), 1)
         wmean = jnp.sum(w * wmask) / n
         w0 = (w - wmean) * wmask
-        g0 = gref * wmask  # gref already normalized over valid
-        Jm = J * wmask[..., None]
-        Jf = Jm.reshape(-1, n_params)
+        g0 = _normalize(ref, wmask)  # template renormalised per support
+        colmean = jnp.sum(J * wmask[..., None], axis=(0, 1)) / n
+        Jp = (J - colmean) * wmask[..., None]
+        Jf = Jp.reshape(-1, n_params)
         w0f = w0.ravel()
         g0f = g0.ravel()
         JtJ = Jf.T @ Jf + 1e-6 * jnp.eye(n_params)
-        # project out the mean of J columns (zero-mean consistency):
-        wnorm = jnp.sqrt(jnp.sum(w0f * w0f))
+        Jtw = Jf.T @ w0f
+        Jtg = Jf.T @ g0f
+        v = solve_spd_small(JtJ, Jtw)
+        wnorm2 = jnp.sum(w0f * w0f)
         gw = jnp.dot(g0f, w0f)
-        # ECC error vector: lambda * g - w  with lambda = ||w||^2 / (g.w)
-        lam = (wnorm ** 2) / jnp.maximum(gw, 1e-20)
+        num = wnorm2 - jnp.dot(Jtw, v)
+        den = gw - jnp.dot(Jtg, v)
+        lam = num / jnp.where(jnp.abs(den) > 1e-20, den, 1e-20)
         err = lam * g0f - w0f
         dp = solve_spd_small(JtJ, Jf.T @ err)
-        cc = gw / jnp.maximum(wnorm, 1e-30)
+        cc = gw / jnp.maximum(jnp.sqrt(wnorm2), 1e-30)
         return p + dp, cc
 
     p, ccs = jax.lax.scan(step, p0, None, length=n_iters)

@@ -29,14 +29,53 @@ def _starfield(H=64, W=64, shift=(0.0, 0.0), theta=0.0, seed=3):
 
 
 def test_ecc_translation():
+    # Truth tolerance 0.02 px: both this solver and cv2.findTransformECC
+    # share a ~0.015 px truth bias on undersampled (sigma 1.5 px) fields —
+    # inherent to the log+Scharr+bilinear ECC formulation, not solver error
+    # (see tools/validate_ecc.py; the cross-validation bound below is the
+    # sub-0.01 px criterion of SURVEY hard-part #4).
     ref = _starfield()
     for dx, dy in [(0.8, -0.5), (1.6, 2.2), (-2.0, 0.3)]:
         img = _starfield(shift=(dx, dy))
         p, cc = ecc_align(prepare_flux(ref), prepare_flux(img), mode="translation")
         p = np.asarray(p)
-        assert p[0] == pytest.approx(dx, abs=0.05)
-        assert p[1] == pytest.approx(dy, abs=0.05)
+        assert p[0] == pytest.approx(dx, abs=0.02)
+        assert p[1] == pytest.approx(dy, abs=0.02)
         assert float(cc) > 0.8
+
+
+def _load_validate_ecc():
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "validate_ecc.py")
+    spec = importlib.util.spec_from_file_location("validate_ecc", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ecc_matches_opencv():
+    """Cross-validation against cv2.findTransformECC (the reference's
+    registration backend, image_motion.py:236) on the same preprocessed
+    inputs: sub-0.01 px agreement where the ECC objective identifies a
+    unique optimum, objective parity where noise flattens it."""
+    pytest.importorskip("cv2")
+    ve = _load_validate_ecc()
+    rows = ve.run_corpus(verbose=False)
+    noiseless = [r for r in rows if r["noise"] == 0]
+    noisy = [r for r in rows if r["noise"] > 0]
+    # Noiseless: every warp-matrix entry within 0.01 of OpenCV's, all modes.
+    assert max(r["max_delta"] for r in noiseless) < 0.01, noiseless
+    # Noisy, 2-3 param models: translations still within 0.01 px.
+    lowdim = [r for r in noisy if r["mode"] in ("translation", "euclidian")]
+    assert max(r["delta_translation"] for r in lowdim) < 0.01, lowdim
+    # Noisy affine (6 params on 64^2 fields): the objective is flat at the
+    # optimum — require objective parity with cv2 (|d rho| < 1e-4) and
+    # translations within 0.05 px.
+    aff = [r for r in noisy if r["mode"] == "affine"]
+    assert max(abs(r["obj_delta"]) for r in aff) < 1e-4, aff
+    assert max(r["delta_translation"] for r in aff) < 0.05, aff
 
 
 def test_ecc_euclidian():
