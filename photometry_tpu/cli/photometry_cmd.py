@@ -55,6 +55,11 @@ def main(argv=None) -> int:
     parser.add_argument("-p", "--plot", action="store_true",
                         help="Render per-target diagnostic figures into "
                              "<output>/plots/<starid>/ (reference run_tessphot.py --plot).")
+    parser.add_argument("--mesh", default=None, metavar="SPEC",
+                        help="Run FFI extraction over a multi-chip device "
+                             "mesh, e.g. 'time=4,targets=2' or 'auto' (all "
+                             "devices time-sharded). Cubes upload sharded "
+                             "across the mesh HBM.")
     parser.add_argument("input_folder", nargs="?", default=None)
     args = parser.parse_args(argv)
     logger = setup_logging(args)
@@ -77,9 +82,16 @@ def main(argv=None) -> int:
     if args.ccd:
         constraints["ccd"] = args.ccd
 
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import parse_mesh_spec
+        mesh = parse_mesh_spec(args.mesh)
+        logger.info("Multi-chip mesh: %s",
+                    dict(zip(mesh.axis_names, mesh.devices.shape)))
+
     summary = os.path.join(output_folder, "summary.json") if args.all else None
     with TaskManager(input_folder, cleanup=args.all, summary=summary) as tm, \
-            ContextCache() as ctx_cache:
+            ContextCache(mesh=mesh) as ctx_cache:
         n_done = 0
         while True:
             if args.random and not args.all:

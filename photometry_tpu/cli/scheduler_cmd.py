@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     parser.add_argument("--connect", default=None, metavar="HOST:PORT",
                         help="Run as a remote worker joining the master at "
                              "HOST:PORT (no master loop on this host).")
+    parser.add_argument("--mesh", default=None, metavar="SPEC",
+                        help="Workers run FFI extraction over a multi-chip "
+                             "device mesh, e.g. 'time=4,targets=2' or 'auto'.")
     parser.add_argument("input_folder", nargs="?", default=None)
     args = parser.parse_args(argv)
     setup_logging(args)
@@ -41,7 +44,8 @@ def main(argv=None) -> int:
         from ..parallel.scheduler import worker_remote
         worker_remote((host, int(port)), input_folder,
                       output_folder=args.output, version=args.version,
-                      platform=getattr(args, "jax_platform", None))
+                      platform=getattr(args, "jax_platform", None),
+                      mesh_spec=args.mesh)
         return 0
 
     listen = None
@@ -61,7 +65,7 @@ def main(argv=None) -> int:
         input_folder, n_workers=args.workers, version=args.version,
         output_folder=args.output, batch_size=args.batch_size,
         platform=getattr(args, "jax_platform", None), listen=listen,
-        **constraints)
+        mesh_spec=args.mesh, **constraints)
     print(json.dumps(summary))
     return 0 if summary.get("drained", True) else 1
 

@@ -72,8 +72,9 @@ class ContextCache:
     are per-target and never cached.
     """
 
-    def __init__(self, capacity: int = 1):
+    def __init__(self, capacity: int = 1, mesh=None):
         self.capacity = max(capacity, 1)
+        self.mesh = mesh
         self._items: "dict[tuple, object]" = {}
 
     def get(self, input_folder: str, task: dict):
@@ -83,7 +84,7 @@ class ContextCache:
                int(task["ccd"]))
         ctx = self._items.pop(key, None)
         if ctx is None:
-            ctx = open_context(input_folder, task)
+            ctx = open_context(input_folder, task, mesh=self.mesh)
             while len(self._items) >= self.capacity:
                 # evict the LEAST recently used context (insertion order =
                 # recency here, since hits re-insert) — dict.popitem()
@@ -110,13 +111,21 @@ class ContextCache:
         self.close()
 
 
-def open_context(input_folder: str, task: dict, cache: str = "device"):
-    """Create the right data context for a task dict."""
+def open_context(input_folder: str, task: dict, cache: str = "device",
+                 mesh=None):
+    """Create the right data context for a task dict.
+
+    ``mesh`` (a parallel.mesh time x targets Mesh) uploads FFI cubes
+    time-sharded across the mesh and routes extraction through the
+    multi-chip shard_map tier; TPF contexts are single-target postage
+    stamps and ignore it.
+    """
     ds = task["datasource"]
     if ds == "ffi":
         return SectorContext(input_folder, int(task["sector"]),
                              int(task["camera"]), int(task["ccd"]), cache=cache,
-                             time_corrector=default_time_corrector())
+                             time_corrector=default_time_corrector(),
+                             mesh=mesh)
     if ds.startswith("tpf:"):
         return TpfContext(input_folder, int(ds[4:]), sector=int(task["sector"]),
                           cadence=int(task["cadence"]))
@@ -259,6 +268,65 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
                 results[int(t["starid"])] = (t, res)
         except Exception:
             logger.exception("Halo switch failed; keeping aperture results")
+
+    # Automatic deblend switch: aperture targets that are genuine blends —
+    # a catalog neighbour holding >= [deblend] neighbour_flux_ratio of the
+    # target's flux within neighbour_radius px — are re-run with linear-PSF
+    # photometry, which fits the blend jointly instead of splitting pixels
+    # at a watershed boundary whose flux assignment is ambiguous even in
+    # the reference (heap-order-dependent flood; PARITY.md "Mask tie-break
+    # bound", up to 23% |flux| delta).  A completeness catch additionally
+    # reroutes truncated masks with any neighbour that close.  Thresholds
+    # bound the DELIVERED aperture blends at p99 < 5% flux delta on the
+    # tie-break corpus (tests/test_tiebreak_corpus.py).
+    completeness_limit = settings.getfloat("deblend", "completeness_limit",
+                                           fallback=0.9)
+    radius = settings.getfloat("deblend", "neighbour_radius", fallback=6.0)
+    switched_halo = {int(t["starid"]) for t in switch}
+    deblend = []
+    for t in default_tasks:
+        sid = int(t["starid"])
+        if sid in switched_halo or str(t["datasource"]).startswith("tpf"):
+            continue
+        _, res = results[sid]
+        if (completeness_limit <= 0 or res.method != "aperture"
+                or res.status not in (STATUS.OK, STATUS.WARNING)):
+            continue
+        comp = res.details.get("completeness")
+        near_any = res.details.get("nearest_neighbour_px")
+        near_sig = res.details.get("nearest_significant_neighbour_px")
+        is_blend = near_sig is not None and near_sig <= radius
+        truncated = (comp is not None and comp < completeness_limit
+                     and near_any is not None and near_any <= radius)
+        if is_blend or truncated:
+            deblend.append(t)
+    if deblend:
+        sids = [int(t["starid"]) for t in deblend]
+        logger.warning("Auto-switching %d blended target(s) to linPSF "
+                       "photometry", len(sids))
+        try:
+            with capture_warnings() as lin_messages:
+                out = _run_method(ctx, sids, "linpsf")
+            for t, res in zip(deblend, out):
+                if res.status not in (STATUS.OK, STATUS.WARNING):
+                    continue  # keep the aperture result on linPSF failure
+                prev = results[int(t["starid"])][1]
+                res.details["completeness"] = prev.details.get("completeness")
+                for key in ("nearest_neighbour_px",
+                            "nearest_significant_neighbour_px"):
+                    if prev.details.get(key) is not None:
+                        res.details[key] = prev.details[key]
+                res.details.setdefault("errors", []).append(
+                    "Automatically switched to linPSF photometry "
+                    f"(aperture mask completeness "
+                    f"{100 * prev.details.get('completeness', float('nan')):.0f}%)")
+                if lin_messages:
+                    res.details["errors"].extend(lin_messages)
+                res.details.setdefault("task", {}).update(
+                    {k: t.get(k) for k in ("priority", "datasource")})
+                results[int(t["starid"])] = (t, res)
+        except Exception:
+            logger.exception("Deblend switch failed; keeping aperture results")
 
     final = []
     for task in tasks:

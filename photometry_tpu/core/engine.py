@@ -94,11 +94,19 @@ class SectorContext:
 
     def __init__(self, input_folder: str, sector: int, camera: int, ccd: int,
                  cache: str = "device", motion_mode: str = "wcs",
-                 time_corrector=None, cube_dtype=None):
+                 time_corrector=None, cube_dtype=None, mesh=None):
         #: Optional core.timecorr.TimeCorrector for per-target barycentric
         #: corrections (recomputed per star position, like
         #: BasePhotometry.py:443-453; None keeps the cube's frame-level values).
         self.time_corrector = time_corrector
+        #: Optional jax.sharding.Mesh (time x targets axes, parallel.mesh):
+        #: the image cubes are uploaded TIME-SHARDED across the mesh and the
+        #: final flux extraction runs the multi-chip shard_map program
+        #: (parallel.sharded.sharded_extract_flux) — the production scale-out
+        #: for cubes exceeding one chip's HBM.  The multi-chip counterpart of
+        #: the reference's MPI share-nothing workers (run_tessphot_mpi.py:36-209),
+        #: riding ICI instead of the filesystem.
+        self.mesh = mesh
         #: Device dtype for the image cubes. ``jnp.bfloat16`` halves HBM
         #: residency and read bandwidth (sums still accumulate in float32);
         #: sector-scale distributional flux error vs f32 is ~0.1% at the
@@ -147,7 +155,36 @@ class SectorContext:
         errs = cube.images_err()
         bkgs = cube.backgrounds()
         pixf = cube.pixelflags()
-        if cache == "device":
+        if cache == "device" and mesh is not None:
+            # Time-sharded upload across the mesh: each host shard lands on
+            # its own device, so cubes larger than one chip's HBM fit.  The
+            # time axis is padded to the mesh's time-axis size with NaN
+            # frames (pixelflags 0); ``n_times`` stays the true length and
+            # every consumer slices gathered stamps back to it.
+            from ..parallel.mesh import TIME_AXIS, cube_sharding
+            n_time = mesh.shape[TIME_AXIS]
+            pad = (-self.n_times) % n_time
+
+            def _padded(a, fill):
+                if not pad:
+                    return a
+                extra = np.full((pad,) + a.shape[1:], fill, a.dtype)
+                return np.concatenate([a, extra], axis=0)
+
+            dt = self.cube_dtype
+            cs = cube_sharding(mesh)
+
+            def _put(a):
+                a = _padded(a, np.nan)
+                if dt is not None:
+                    a = np.asarray(a, dtype=dt)
+                return jax.device_put(a, cs)
+
+            self.images = _put(imgs)
+            self.images_err = _put(errs)
+            self.backgrounds = _put(bkgs)
+            self.pixelflags = jax.device_put(_padded(pixf, 0), cs)
+        elif cache == "device":
             dt = self.cube_dtype
             self.images = jnp.asarray(imgs, dtype=dt)
             self.images_err = jnp.asarray(errs, dtype=dt)
@@ -491,6 +528,46 @@ def _extract_flux_streamed(ctx, masks, r0s, c0s, h: int, w: int,
                  for i in range(5))
 
 
+def _extract_flux_sharded(ctx, masks, r0s, c0s, h: int, w: int, windows):
+    """Multi-chip extraction tier: shard_map over ctx.mesh (time x targets).
+
+    The cube was uploaded time-sharded (and time-padded) by SectorContext;
+    here the *target* axis is padded to the mesh's target-axis size, the
+    sharded program runs (banded MXU kernel when the mesh is time-only and
+    the banded gate holds, dense-gather shard_map otherwise), and outputs
+    are sliced back to the true (N, ctx.n_times).  Exactness: every output
+    element depends on exactly one (target, cadence) pair, so sharding is
+    bitwise-neutral (asserted in tests/test_mesh_production.py).
+
+    The reference's counterpart is share-nothing MPI workers exchanging
+    bulk data through the filesystem (run_tessphot_mpi.py:36-209); here the
+    cube stays resident across device HBM and XLA moves only per-target
+    rows over ICI.
+    """
+    from ..ops.bandext import use_banded
+    from ..parallel.mesh import TARGET_AXIS
+    from ..parallel.sharded import (pad_to_multiple, sharded_band_extract,
+                                    sharded_extract_flux)
+    mesh = ctx.mesh
+    N = masks.shape[0]
+    T = ctx.n_times
+    n_targets = mesh.shape[TARGET_AXIS]
+    masks_p, _ = pad_to_multiple(np.asarray(masks), 0, n_targets, fill=False)
+    windows_p, _ = pad_to_multiple(np.asarray(windows), 0, n_targets,
+                                   fill=False)
+    r0s_p, _ = pad_to_multiple(np.asarray(r0s, np.int32), 0, n_targets, fill=0)
+    c0s_p, _ = pad_to_multiple(np.asarray(c0s, np.int32), 0, n_targets, fill=0)
+    if n_targets == 1 and use_banded(ctx):
+        out = sharded_band_extract(
+            ctx.images, ctx.images_err, ctx.backgrounds, ctx.pixelflags,
+            masks_p, r0s_p, c0s_p, mesh, h, w, windows=windows_p)
+    else:
+        out = sharded_extract_flux(
+            ctx.images, ctx.images_err, ctx.backgrounds, ctx.pixelflags,
+            masks_p, r0s_p, c0s_p, mesh, h, w, windows=windows_p)
+    return tuple(np.asarray(o)[:N, :T] for o in out)
+
+
 def _stamp_catalog(cat_all: dict, wcs, r0, r1, c0, c1, offset_rc=(0, 0),
                    max_stars: int = 48, buffer_px: float = 5.0):
     """Catalog stars within one stamp (+buffer), in stamp coordinates.
@@ -572,6 +649,8 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
     settings = load_settings()
     halos_tmag = settings.getfloat("haloswitch", "tmag_limit", fallback=6.0)
     halos_flux = settings.getfloat("haloswitch", "flux_limit", fallback=0.01)
+    deblend_ratio = settings.getfloat("deblend", "neighbour_flux_ratio",
+                                      fallback=0.1)
     if k2p2_params is None:
         k2p2_params = DEFAULT_K2P2_PARAMS
 
@@ -798,6 +877,14 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             flux, ferr, fbkg, cent, shen = _extract_flux_streamed(
                 ctx, jnp.asarray(masks_f), jnp.asarray(r0s), jnp.asarray(c0s),
                 bh, bw, windows=jnp.asarray(windows_f))
+        elif getattr(ctx, "mesh", None) is not None:
+            # Multi-chip production tier: the cube is time-sharded across
+            # ctx.mesh (SectorContext upload); targets shard across the
+            # orthogonal axis.  Exact — every output element depends on one
+            # (target, cadence) pair (bit-identical to single-device,
+            # tests/test_mesh_production.py).
+            flux, ferr, fbkg, cent, shen = _extract_flux_sharded(
+                ctx, masks_f, r0s, c0s, bh, bw, windows_f)
         elif use_banded(ctx):
             # Dense target batches on TPU: full-pass banded MXU kernel
             # (~7x the scattered-gather formulation at 10k targets):
@@ -916,6 +1003,22 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         crowdsap = float(crowding["crowdsap"][i])
         details["completeness"] = completeness
         details["crowdsap"] = crowdsap
+        # Nearest valid catalog neighbour (px), and nearest *significant*
+        # one (flux >= [deblend] neighbour_flux_ratio of the target's): the
+        # dispatcher's deblend auto-switch keys on these to tell a real
+        # blend (split-boundary flux is genuinely ambiguous — PARITY.md
+        # "Mask tie-break bound") from ordinary PSF-wing loss on isolated
+        # faint stars, which no mask can avoid:
+        others = cat["valid"] & (cat["starid"] != t["starid"])
+        if others.any():
+            dist = np.hypot(cat["row"][others] - (t["row"] - s[0]),
+                            cat["col"][others] - (t["col"] - s[2]))
+            details["nearest_neighbour_px"] = float(np.min(dist))
+            ratio = 10.0 ** (-0.4 * (cat["tmag"][others] - tgt["tmag"]))
+            sig = ratio >= deblend_ratio
+            if sig.any():
+                details["nearest_significant_neighbour_px"] = \
+                    float(np.min(dist[sig]))
         add_headers["FLFRCSAP"] = (round(completeness, 6),
                                    "Frac. of target PSF flux in aperture")
         add_headers["CROWDSAP"] = (round(crowdsap, 6),

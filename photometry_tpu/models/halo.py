@@ -175,8 +175,10 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER,
         # (T, H, W) array first — gigabytes through the ~12 MB/s tunnel
         # per target (CLAUDE.md upload-hoisting rule).  Device cubes slice
         # on device and only the stamp crosses back.
-        imgs = np.asarray(ctx.images[:, r0:r0 + h, c0:c0 + w])
-        errs = np.asarray(ctx.images_err[:, r0:r0 + h, c0:c0 + w])
+        # [:ctx.n_times]: mesh-uploaded cubes are time-padded; slice the
+        # small crop (never the full cube) back to the true cadence count.
+        imgs = np.asarray(ctx.images[:, r0:r0 + h, c0:c0 + w])[:ctx.n_times]
+        errs = np.asarray(ctx.images_err[:, r0:r0 + h, c0:c0 + w])[:ctx.n_times]
 
         yy, xx = np.mgrid[0:h, 0:w]
         dist = np.hypot(yy + r0 - row, xx + c0 - col)

@@ -146,8 +146,10 @@ def extract_linpsf_batch(ctx, starids, prf=None, keep_diag: bool = False,
             S = len(group[0][0].valid)
             r0s = np.array([g[1] for g in group], np.int32)
             c0s = np.array([g[2] for g in group], np.int32)
-            imgs = gather_stamp_stack(ctx.images, r0s, c0s, bh, bw)
-            bkgs = gather_stamp_stack(ctx.backgrounds, r0s, c0s, bh, bw)
+            imgs = gather_stamp_stack(ctx.images, r0s, c0s, bh, bw,
+                                      n_times=T)
+            bkgs = gather_stamp_stack(ctx.backgrounds, r0s, c0s, bh, bw,
+                                      n_times=T)
             logical = np.stack([logical_stamp_mask(st.stamp, r0, c0, bh, bw)
                                 for st, r0, c0 in group])
             imgs = jnp.where(jnp.asarray(logical)[:, None], imgs, jnp.nan)

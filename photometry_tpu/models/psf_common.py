@@ -157,21 +157,35 @@ def bucket_psf_groups(ctx, setups) -> dict:
     return groups
 
 
-def gather_stamp_stack(cube, r0s, c0s, bh: int, bw: int):
+def gather_stamp_stack(cube, r0s, c0s, bh: int, bw: int, n_times=None):
     """(T, H, W) cube -> (N, T, bh, bw) stamps via one dense gather.
 
     Works for device (jax) and host (numpy) cubes; always returns float32
     (bf16 cubes upcast after the gather, so only stamp bytes are read).
+    ``n_times`` slices the stamp stack back to the true cadence count when
+    the cube's time axis is mesh-padded (SectorContext with ``mesh=``);
+    slicing happens on the small gathered stamps, never on the full cube.
     """
     rows = np.asarray(r0s, np.int32)[:, None] + np.arange(bh, dtype=np.int32)
     cols = np.asarray(c0s, np.int32)[:, None] + np.arange(bw, dtype=np.int32)
     ridx = rows[:, :, None]
     cidx = cols[:, None, :]
     if isinstance(cube, np.ndarray):
-        return np.moveaxis(cube[:, ridx, cidx], 0, 1).astype(np.float32)
+        out = np.moveaxis(cube[:, ridx, cidx], 0, 1).astype(np.float32)
+        return out if n_times is None else out[:, :n_times]
+    import jax
     import jax.numpy as jnp
     out = cube[:, jnp.asarray(ridx), jnp.asarray(cidx)]
-    return jnp.moveaxis(out, 0, 1).astype(jnp.float32)
+    out = jnp.moveaxis(out, 0, 1).astype(jnp.float32)
+    if n_times is not None:
+        out = out[:, :n_times]
+    # Mesh-sharded cubes hand back mesh-sharded stamps; the per-stamp fit
+    # programs are AOT-compiled for single-device inputs, so collapse the
+    # (small) stamp stack onto one device here:
+    sharding = getattr(out, "sharding", None)
+    if sharding is not None and getattr(sharding, "num_devices", 1) > 1:
+        out = jax.device_put(out, jax.devices()[0])
+    return out
 
 
 def logical_stamp_mask(stamp, r0: int, c0: int, bh: int, bw: int) -> np.ndarray:

@@ -80,7 +80,8 @@ def radial_coordinates(shape, camera: int, ccd: int, col_offset: int = 44) -> np
 # Radial component
 # ---------------------------------------------------------------------------
 
-def _radial_component(img, mask, r, ring_idx, n_rings, bin_centers, smooth: int):
+def _radial_component(img, mask, r, ring_idx, n_rings, bin_centers, smooth: int,
+                      hist_method: str = "auto"):
     """Radial corner-glow profile evaluated back onto the 2-D radius image."""
     good = ~mask
     pix = jnp.where(good, img, jnp.nan)
@@ -88,7 +89,8 @@ def _radial_component(img, mask, r, ring_idx, n_rings, bin_centers, smooth: int)
     logpix = jnp.log10(img + zeropoint)
 
     modes = segment_kde_mode(logpix.ravel(), ring_idx.ravel(), n_rings,
-                             mask=mask.ravel(), min_count=8)
+                             mask=mask.ravel(), min_count=8,
+                             method=hist_method)
     if smooth:
         modes = moving_median_central(modes, smooth)
 
@@ -184,9 +186,11 @@ def _tiled_mode(img, mask, tile: int, exclude_fraction: float):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_rings", "bkgiters", "tile", "radial_smooth", "use_radial"))
+    "n_rings", "bkgiters", "tile", "radial_smooth", "use_radial",
+    "hist_method"))
 def _estimate_background_jit(images, mask, r, ring_idx, bin_centers,
-                             n_rings, bkgiters, tile, radial_smooth, use_radial):
+                             n_rings, bkgiters, tile, radial_smooth, use_radial,
+                             hist_method="auto"):
     def one_frame(img, msk):
         bkg_radial = jnp.zeros_like(img)
         bkg_square = jnp.zeros_like(img)
@@ -194,7 +198,8 @@ def _estimate_background_jit(images, mask, r, ring_idx, bin_centers,
             if use_radial:
                 bkg_radial = _radial_component(img - bkg_square, msk, r,
                                                ring_idx, n_rings, bin_centers,
-                                               radial_smooth)
+                                               radial_smooth,
+                                               hist_method=hist_method)
             bkg_square = _tiled_mode(img - bkg_radial, msk, tile,
                                      exclude_fraction=0.5)
         total = bkg_radial + bkg_square
@@ -282,9 +287,20 @@ def estimate_background(images, mask=None, camera: Optional[int] = None,
         ring_idx = jnp.full((H, W), -1, jnp.int32)
 
     tile = min(tile, H, W)
+    # Resolve the segment-histogram method HERE, where ``images`` is a
+    # concrete device array: under jit tracing segment_kde_mode's 'auto'
+    # falls back to jax.default_backend(), which can disagree with the
+    # device the program actually runs on (e.g. a CPU-mesh dry run in a
+    # process whose default backend is the TPU plugin — the bf16 matmul
+    # histogram is UNIMPLEMENTED on XLA:CPU).
+    try:
+        platform = next(iter(images.devices())).platform
+    except Exception:
+        platform = jax.default_backend()
+    hist_method = "scatter" if platform == "cpu" else "matmul"
     bkg = _estimate_background_jit(images, base_mask, r, ring_idx, bin_centers,
                                    n_rings, bkgiters, tile, radial_smooth,
-                                   use_radial)
+                                   use_radial, hist_method=hist_method)
     if squeeze:
         return bkg[0], base_mask[0]
     return bkg, base_mask

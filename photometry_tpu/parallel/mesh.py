@@ -23,10 +23,52 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "cube_sharding", "targets_sharding", "replicated"]
+__all__ = ["make_mesh", "parse_mesh_spec", "cube_sharding",
+           "targets_sharding", "replicated"]
 
 TIME_AXIS = "time"
 TARGET_AXIS = "targets"
+
+
+def parse_mesh_spec(spec: str) -> Mesh:
+    """Build a mesh from a CLI spec like ``time=4,targets=2``.
+
+    Accepted forms: ``time=N``, ``targets=M``, ``time=N,targets=M``, or a
+    bare device count ``N`` (all on the time axis).  ``auto`` uses every
+    available device on the time axis.  The production CLIs
+    (photometry_cmd/scheduler_cmd ``--mesh``) route sector cubes through
+    this mesh — the TPU-native counterpart of launching the reference under
+    ``mpiexec`` (run_tessphot_mpi.py).
+    """
+    spec = (spec or "").strip().lower()
+    if not spec:
+        raise ValueError("empty mesh spec")
+    if spec == "auto":
+        return make_mesh()
+    kw = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            key, _, val = part.partition("=")
+            key = key.strip()
+            if key not in (TIME_AXIS, TARGET_AXIS):
+                raise ValueError(f"unknown mesh axis {key!r} "
+                                 f"(expected {TIME_AXIS!r} or {TARGET_AXIS!r})")
+            kw["n_time" if key == TIME_AXIS else "n_targets"] = int(val)
+        else:
+            kw["n_time"] = int(part)
+    # An explicit spec consumes exactly n_time*n_targets devices (an omitted
+    # axis defaults to 1) so e.g. 'time=4' works on an 8-device host:
+    n_time = kw.get("n_time", 1)
+    n_targets = kw.get("n_targets", 1)
+    devices = jax.devices()
+    if n_time * n_targets > len(devices):
+        raise ValueError(f"mesh spec {spec!r} needs {n_time * n_targets} "
+                         f"devices; only {len(devices)} available")
+    return make_mesh(n_time=n_time, n_targets=n_targets,
+                     devices=devices[:n_time * n_targets])
 
 
 def make_mesh(n_time: Optional[int] = None, n_targets: Optional[int] = None,

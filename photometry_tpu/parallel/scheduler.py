@@ -66,15 +66,26 @@ def _result_to_dict(task, res, elaptime, worker_wait_time):
 
 
 def worker_loop(conn, input_folder: str, output_folder: Optional[str],
-                version: int, platform: Optional[str] = None):
-    """Worker process: READY -> recv batch -> photometry -> DONE ... EXIT."""
+                version: int, platform: Optional[str] = None,
+                mesh_spec: Optional[str] = None):
+    """Worker process: READY -> recv batch -> photometry -> DONE ... EXIT.
+
+    ``mesh_spec`` (e.g. 'time=4,targets=2') makes this worker run FFI
+    extraction over a multi-chip device mesh (parallel.mesh.parse_mesh_spec);
+    the mesh is built here, inside the worker process, after the platform is
+    configured.
+    """
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
     from ..core.dispatcher import ContextCache, photometry_batch
     from ..core.status import STATUS
 
-    ctx_cache = ContextCache()
+    mesh = None
+    if mesh_spec:
+        from .mesh import parse_mesh_spec
+        mesh = parse_mesh_spec(mesh_spec)
+    ctx_cache = ContextCache(mesh=mesh)
     tic_wait = default_timer()
     conn.send((READY, None))
     while True:
@@ -137,7 +148,8 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
 
 def worker_remote(address, input_folder: str,
                   output_folder: Optional[str] = None, version: int = 1,
-                  platform: Optional[str] = None, connect_timeout: float = 60.0):
+                  platform: Optional[str] = None, connect_timeout: float = 60.0,
+                  mesh_spec: Optional[str] = None):
     """Join a master listening at ``address`` = (host, port) over TCP.
 
     The cross-host (DCN) worker entry point: connects (retrying until the
@@ -156,14 +168,16 @@ def worker_remote(address, input_folder: str,
             if default_timer() > deadline:
                 raise
             time.sleep(0.25)
-    worker_loop(conn, input_folder, output_folder, version, platform)
+    worker_loop(conn, input_folder, output_folder, version, platform,
+                mesh_spec=mesh_spec)
 
 
 def run_distributed(input_folder: str, n_workers: int = 2,
                     version: int = 1, output_folder: Optional[str] = None,
                     batch_size: int = 256, platform: Optional[str] = None,
                     summary: Optional[str] = None, listen=None,
-                    max_respawns: int = 3, **constraints) -> dict:
+                    max_respawns: int = 3, mesh_spec: Optional[str] = None,
+                    **constraints) -> dict:
     """Master loop: lease batches to workers until the queue drains.
 
     With ``listen=(host, port)`` the master accepts ``n_workers`` TCP
@@ -197,7 +211,7 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                 parent_conn, child_conn = mp.Pipe()
                 proc = mp.Process(target=worker_loop,
                                   args=(child_conn, input_folder, output_folder,
-                                        version, platform))
+                                        version, platform, mesh_spec))
                 proc.start()
                 workers.append({"proc": proc, "conn": parent_conn, "alive": True})
 
@@ -208,7 +222,7 @@ def run_distributed(input_folder: str, n_workers: int = 2,
             parent_conn, child_conn = mp.Pipe()
             proc = mp.Process(target=worker_loop,
                               args=(child_conn, input_folder, output_folder,
-                                    version, platform))
+                                    version, platform, mesh_spec))
             proc.start()
             return {"proc": proc, "conn": parent_conn, "alive": True}
 

@@ -106,7 +106,8 @@ def sharded_sumimage(images, quality_good, mesh):
 
 
 def sharded_extract_flux(images, images_err, backgrounds, pixelflags,
-                         masks, r0s, c0s, mesh, h: int, w: int):
+                         masks, r0s, c0s, mesh, h: int, w: int,
+                         windows=None):
     """Production aperture extraction over a (time x targets) mesh.
 
     Runs core.engine.extract_flux_core — the dense-gather formulation that
@@ -116,35 +117,50 @@ def sharded_extract_flux(images, images_err, backgrounds, pixelflags,
     block with zero communication.
 
     Inputs may be host numpy; they are placed with explicit mesh shardings
-    (cubes time-sharded, masks/corners target-sharded).  T must divide by the
-    time-axis size and N by the target-axis size (see :func:`pad_to_multiple`).
+    (cubes time-sharded, masks/corners/windows target-sharded).  T must
+    divide by the time-axis size and N by the target-axis size (see
+    :func:`pad_to_multiple`).  ``windows`` (N, h, w) bool optionally limits
+    the shenanigans reduction to each target's logical stamp, exactly as in
+    the single-chip engine.
     Returns (flux, flux_err, flux_bkg, centroid, shenanigans) with (N, T)
     leading layout, sharded P(targets, time).
     """
     from ..core.engine import extract_flux_core
 
     cs = cube_sharding(mesh)
+    ts3 = targets_sharding(mesh, 3)
     images = jax.device_put(images, cs)
     images_err = jax.device_put(images_err, cs)
     backgrounds = jax.device_put(backgrounds, cs)
     pixelflags = jax.device_put(pixelflags, cs)
-    masks = jax.device_put(masks, targets_sharding(mesh, 3))
+    masks = jax.device_put(masks, ts3)
     r0s = jax.device_put(np.asarray(r0s, np.int32), targets_sharding(mesh, 1))
     c0s = jax.device_put(np.asarray(c0s, np.int32), targets_sharding(mesh, 1))
 
-    body = jax.shard_map(
-        functools.partial(extract_flux_core, h=h, w=w), mesh=mesh,
-        in_specs=(P(TIME_AXIS, None, None),) * 4
-                 + (P(TARGET_AXIS, None, None), P(TARGET_AXIS), P(TARGET_AXIS)),
-        out_specs=(P(TARGET_AXIS, TIME_AXIS),) * 3
-                  + (P(TARGET_AXIS, TIME_AXIS, None), P(TARGET_AXIS, TIME_AXIS)))
-    return jax.jit(body)(images, images_err, backgrounds, pixelflags,
-                         masks, r0s, c0s)
+    in_specs = ((P(TIME_AXIS, None, None),) * 4
+                + (P(TARGET_AXIS, None, None), P(TARGET_AXIS), P(TARGET_AXIS)))
+    out_specs = ((P(TARGET_AXIS, TIME_AXIS),) * 3
+                 + (P(TARGET_AXIS, TIME_AXIS, None), P(TARGET_AXIS, TIME_AXIS)))
+    args = [images, images_err, backgrounds, pixelflags, masks, r0s, c0s]
+    if windows is not None:
+        in_specs = in_specs + (P(TARGET_AXIS, None, None),)
+        args.append(jax.device_put(windows, ts3))
+
+        def local(im, er, bk, fl, mk, r0, c0, win):
+            return extract_flux_core(im, er, bk, fl, mk, r0, c0,
+                                     h=h, w=w, windows=win)
+    else:
+        local = functools.partial(extract_flux_core, h=h, w=w)
+
+    body = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
+    return jax.jit(body)(*args)
 
 
 def sharded_band_extract(images, images_err, backgrounds, pixelflags,
                          masks, r0s, c0s, mesh, h: int, w: int,
-                         t_block: int = 128, interpret: bool = False):
+                         t_block: int = 128, interpret: bool = False,
+                         windows=None):
     """Time-sharded banded extraction: the full-pass MXU kernel
     (ops.bandext) runs per time shard under ``shard_map``.
 
@@ -159,7 +175,8 @@ def sharded_band_extract(images, images_err, backgrounds, pixelflags,
     n_time = mesh.shape[TIME_AXIS]
     if T % n_time:
         raise ValueError(f"T={T} must divide the time-axis size {n_time}")
-    pieces = build_piece_patches(np.asarray(masks), r0s, c0s, (H, W))
+    pieces = build_piece_patches(np.asarray(masks), r0s, c0s, (H, W),
+                                 windows=windows)
 
     cs = NamedSharding(mesh, P(TIME_AXIS, None, None))
     images = jax.device_put(images, cs)

@@ -190,6 +190,10 @@ def prepare_one(input_folder: str, sector: int, camera: int, ccd: int,
         "READNOIS": hdr0.get("READNOIS", 10.0),
         "GAIN": hdr0.get("GAIN", 5.2),
         "NREADOUT": hdr0.get("NREADOUT", 0),
+        # PSF width hint for the analytic-Gaussian PRF fallback and the
+        # crowding metrics (models/psf_common.context_prf); absent on SPOC
+        # flight FFIs (whose calibrated PRF .mat tables are used instead):
+        "PSFSIGMA": hdr0.get("PSFSIGMA"),
         "PIXEL_OFFSET_ROW": 0,
         "PIXEL_OFFSET_COLUMN": 44 if first.is_tess else 0,
     }

@@ -160,6 +160,7 @@ class SimulatedSector:
             hdr.set("CRBLKSZ", 10)
             hdr.set("GAIN", 5.2)
             hdr.set("READNOIS", cfg.read_noise)
+            hdr.set("PSFSIGMA", float(cfg.psf_sigma))
             hdr.set("QUAL_BIT", int(self.quality[k]))
             # Raw-geometry files carry the WCS of the RAW pixel grid
             # (science column c sits at raw column c+44), exactly like

@@ -26,12 +26,19 @@ K = 4  # catalog slots
 
 
 def _corpus(rng):
-    """Random 1-3 star stamps + padded catalogs (background-subtracted)."""
+    """Random 1-3 star stamps + padded catalogs (background-subtracted).
+
+    Also returns the injected per-star amplitude/sigma tables (amp 0 marks
+    an empty slot) so the delivered-quality gate can compute the production
+    completeness metric with truth fluxes.
+    """
     imgs = np.zeros((N_STAMPS, H, W), np.float32)
     cat_col = np.full((N_STAMPS, K), 1e9, np.float32)
     cat_row = np.full((N_STAMPS, K), 1e9, np.float32)
     cat_tmag = np.full((N_STAMPS, K), 30.0, np.float32)
     cat_valid = np.zeros((N_STAMPS, K), bool)
+    star_amp = np.zeros((N_STAMPS, K), np.float64)
+    star_sigma = np.zeros((N_STAMPS, K), np.float64)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
     for i in range(N_STAMPS):
         n_star = int(rng.integers(1, 4))
@@ -47,8 +54,10 @@ def _corpus(rng):
             cat_col[i, j] = c
             cat_tmag[i, j] = rng.uniform(10.0, 14.0)  # faint: no overflow lanes
             cat_valid[i, j] = True
+            star_amp[i, j] = amps[j]
+            star_sigma[i, j] = s
         imgs[i] += rng.normal(0, 3.0, (H, W)).astype(np.float32)
-    return imgs, cat_col, cat_row, cat_tmag, cat_valid
+    return imgs, cat_col, cat_row, cat_tmag, cat_valid, star_amp, star_sigma
 
 
 def _flood_watershed(elev, markers, mask, connectivity: int = 1):
@@ -133,10 +142,13 @@ def _ref_mask(img, cut, cols, rows, tmags, valid, tr, tc):
     return mask, found
 
 
-@pytest.mark.slow
-def test_tiebreak_delta_bound():
+@pytest.fixture(scope="module")
+def corpus_run():
+    """One shared corpus evaluation: our masks, reference-composed masks,
+    and per-stamp pixel/flux deltas (the expensive part of this module)."""
     rng = np.random.default_rng(99)
-    imgs, cat_col, cat_row, cat_tmag, cat_valid = _corpus(rng)
+    imgs, cat_col, cat_row, cat_tmag, cat_valid, star_amp, star_sigma = \
+        _corpus(rng)
     cat_sid = np.arange(1, K + 1, dtype=np.int64)[None].repeat(N_STAMPS, 0)
     t_row = cat_row[:, 0]
     t_col = cat_col[:, 0]
@@ -154,8 +166,8 @@ def test_tiebreak_delta_bound():
     cuts = np.asarray(out["cut"])
     founds = np.asarray(out["found_mask"])
 
-    classes = {"single": {"pix": [], "flux": []},
-               "multi": {"pix": [], "flux": []}}
+    pix_rate = np.full(N_STAMPS, np.nan)
+    flux_delta = np.full(N_STAMPS, np.nan)
     for i in range(N_STAMPS):
         ref, ref_found = _ref_mask(imgs[i], cuts[i], cat_col[i], cat_row[i],
                                    cat_tmag[i], cat_valid[i],
@@ -163,13 +175,27 @@ def test_tiebreak_delta_bound():
         union = ours[i] | ref
         if union.sum() == 0:
             continue
-        rate = (ours[i] ^ ref).sum() / union.sum()
+        pix_rate[i] = (ours[i] ^ ref).sum() / union.sum()
         f_ours = float(imgs[i][ours[i]].sum())
         f_ref = float(imgs[i][ref].sum())
-        fd = abs(f_ours - f_ref) / f_ref if f_ref > 0 else 0.0
-        d = classes["single" if int(cat_valid[i].sum()) == 1 else "multi"]
-        d["pix"].append(rate)
-        d["flux"].append(fd)
+        flux_delta[i] = abs(f_ours - f_ref) / f_ref if f_ref > 0 else 0.0
+    return dict(imgs=imgs, cat_col=cat_col, cat_row=cat_row,
+                cat_tmag=cat_tmag, cat_valid=cat_valid, star_amp=star_amp,
+                star_sigma=star_sigma, t_row=t_row, t_col=t_col, ours=ours,
+                founds=founds, pix_rate=pix_rate, flux_delta=flux_delta)
+
+
+@pytest.mark.slow
+def test_tiebreak_delta_bound(corpus_run):
+    cr = corpus_run
+    classes = {"single": {"pix": [], "flux": []},
+               "multi": {"pix": [], "flux": []}}
+    for i in range(N_STAMPS):
+        if not np.isfinite(cr["pix_rate"][i]):
+            continue
+        d = classes["single" if int(cr["cat_valid"][i].sum()) == 1 else "multi"]
+        d["pix"].append(cr["pix_rate"][i])
+        d["flux"].append(cr["flux_delta"][i])
 
     stats = {}
     for name, d in classes.items():
@@ -206,3 +232,69 @@ def test_tiebreak_delta_bound():
     assert stats["multi"]["mean_flux_delta"] < 0.02
     assert stats["multi"]["p99_flux_delta"] < 0.20
     assert stats["multi"]["max_flux_delta"] < 0.30
+
+
+@pytest.mark.slow
+def test_delivered_blend_quality(corpus_run):
+    """Delivered-light-curve gate (VERDICT r3 #4): with the dispatcher's
+    deblend auto-switch (production predicate: a neighbour holding >= 10%
+    of the target's flux within 6 px, or a truncated mask with any
+    neighbour that close, re-runs as linPSF), the stamps DELIVERED as
+    aperture must keep p99 |flux| delta vs the reference composition < 5%
+    — the un-fixed corpus p99 is ~13% (max 23%, PARITY.md)."""
+    from photometry_tpu.core.metrics import crowding_metrics_batch
+
+    cr = corpus_run
+    # Production completeness metric with truth fluxes (engine computes the
+    # same from catalog tmags; the corpus' analytic star fluxes play the
+    # catalog role here — its tmag slots are random corpus padding) at the
+    # production default PSF sigma:
+    flux_slots = (cr["star_amp"] * 2 * np.pi * cr["star_sigma"] ** 2
+                  ).astype(np.float32)
+    istgt = np.zeros_like(cr["cat_valid"])
+    istgt[:, 0] = True
+    cm = crowding_metrics_batch(
+        jnp.asarray(cr["ours"], jnp.float32),
+        jnp.asarray(cr["cat_row"], jnp.float32),
+        jnp.asarray(cr["cat_col"], jnp.float32),
+        jnp.asarray(flux_slots),
+        jnp.asarray(cr["cat_valid"]), jnp.asarray(istgt),
+        jnp.asarray(cr["t_row"], jnp.float32),
+        jnp.asarray(cr["t_col"], jnp.float32),
+        jnp.asarray(flux_slots[:, 0]), jnp.float32(1.25))
+    comp = np.asarray(cm["completeness"])
+
+    # nearest neighbour distances (px), inf when absent — 'any' and
+    # 'significant' (>= 10% of the target's flux), as the engine records:
+    near_any = np.full(N_STAMPS, np.inf)
+    near_sig = np.full(N_STAMPS, np.inf)
+    for i in range(N_STAMPS):
+        v = cr["cat_valid"][i].copy()
+        v[0] = False
+        if not v.any():
+            continue
+        d = np.hypot(cr["cat_row"][i, v] - cr["t_row"][i],
+                     cr["cat_col"][i, v] - cr["t_col"][i])
+        near_any[i] = d.min()
+        sig = flux_slots[i, v] >= 0.1 * flux_slots[i, 0]
+        if sig.any():
+            near_sig[i] = d[sig].min()
+
+    multi = cr["cat_valid"].sum(axis=1) > 1
+    ok = multi & cr["founds"].astype(bool) & np.isfinite(cr["flux_delta"])
+    switch = ok & ((near_sig <= 6.0) | ((comp < 0.9) & (near_any <= 6.0)))
+    delivered = ok & ~switch
+    fd = cr["flux_delta"]
+    print(f"\ndelivered-blend gate: {ok.sum()} blends, "
+          f"{switch.sum()} auto-switched to linPSF "
+          f"({100 * switch.sum() / max(ok.sum(), 1):.0f}%), "
+          f"delivered p99 {np.percentile(fd[delivered], 99):.4f} "
+          f"max {fd[delivered].max():.4f} "
+          f"(unfixed p99 {np.percentile(fd[ok], 99):.4f} "
+          f"max {fd[ok].max():.4f})")
+    assert delivered.sum() >= 150
+    assert switch.sum() >= 10, "the switch predicate never fires on the corpus"
+    # the gate of record:
+    assert np.percentile(fd[delivered], 99) < 0.05
+    # and the switch must be catching the bad tail, not random stamps:
+    assert np.percentile(fd[ok], 99) > np.percentile(fd[delivered], 99)
