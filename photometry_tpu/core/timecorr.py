@@ -40,19 +40,32 @@ GM_SUN_C3_DAYS = 4.92549094764e-6 / 86400.0  #: GM_sun/c^3 [days] (Shapiro scale
 
 @dataclass
 class SpacecraftEphemeris:
-    """Barycentric spacecraft positions sampled on a time grid."""
+    """Barycentric spacecraft positions sampled on a time grid.
+
+    ``pos_earth`` (optional) carries the Earth geocentre's barycentric
+    positions on the same grid; it enables the Einstein (clock) term of
+    :meth:`TimeCorrector.barycentric_correction_full` (reference
+    spice.py:424-428 computes it from the TESS-geocentric position and the
+    Earth's barycentric velocity).
+    """
 
     time: np.ndarray   #: (M,) JD (TDB)
     pos: np.ndarray    #: (M, 3) km, ICRS axes, relative to the SSB
+    pos_earth: "np.ndarray | None" = None  #: (M, 3) km Earth geocentre wrt SSB
 
     @classmethod
     def load(cls, path: str) -> "SpacecraftEphemeris":
         with np.load(path) as d:
+            pe = (np.asarray(d["pos_earth"], np.float64)
+                  if "pos_earth" in d else None)
             return cls(time=np.asarray(d["time"], np.float64),
-                       pos=np.asarray(d["pos"], np.float64))
+                       pos=np.asarray(d["pos"], np.float64), pos_earth=pe)
 
     def save(self, path: str):
-        np.savez_compressed(path, time=self.time, pos=self.pos)
+        extra = {}
+        if self.pos_earth is not None:
+            extra["pos_earth"] = self.pos_earth
+        np.savez_compressed(path, time=self.time, pos=self.pos, **extra)
 
     @classmethod
     def synthetic(cls, jd_start: float, jd_end: float, step_days: float = 0.25
@@ -75,7 +88,7 @@ class SpacecraftEphemeris:
         ph = 2 * np.pi * (d % 13.7) / 13.7
         tess_geo = 240000.0 * np.stack([np.cos(ph), np.sin(ph) * 0.9,
                                         np.sin(ph) * 0.4], axis=1)
-        return cls(time=t, pos=earth + tess_geo)
+        return cls(time=t, pos=earth + tess_geo, pos_earth=earth)
 
 
 class TimeCorrector:
@@ -103,6 +116,15 @@ class TimeCorrector:
         t1 = self._t[i + 1]
         w = np.clip((jd - t0) / np.maximum(t1 - t0, 1e-30), 0.0, 1.0)
         return self._p[i] * (1 - w)[..., None] + self._p[i + 1] * w[..., None]
+
+    def _interp_earth(self, jd):
+        pe = self.eph.pos_earth
+        i = np.clip(np.searchsorted(self._t, jd, side="right") - 1,
+                    0, self._t.shape[0] - 2)
+        t0 = self._t[i]
+        t1 = self._t[i + 1]
+        w = np.clip((jd - t0) / np.maximum(t1 - t0, 1e-30), 0.0, 1.0)
+        return pe[i] * (1 - w)[..., None] + pe[i + 1] * w[..., None]
 
     def barycentric_correction(self, time_nocorr, ra, dec, btjd: bool = True):
         """timecorr [days] for each (target, cadence).
@@ -164,14 +186,18 @@ class TimeCorrector:
 
     def barycentric_correction_full(self, time_nocorr, ra, dec,
                                     btjd: bool = True):
-        """Rømer + Shapiro correction [days] (experimental; counterpart of
+        """Rømer + Shapiro + Einstein correction [days] (counterpart of
         TESS_SPICE.barycorr2's explicit delay sum, spice.py:386-431).
 
         The Shapiro term uses -(2 GM_sun/c^3) ln(1 - cos psi) with the Sun
         approximated at the solar-system barycentre (the offset is <0.01 AU,
         i.e. a few-percent error on a <=20 microsecond term).  The Einstein
-        (clock) delay is part of the TDB timescale of the inputs and is not
-        re-applied.
+        (clock) term follows the reference's formulation — the topocentric
+        dot(r_sc/geo, v_earth/SSB) / c^2 site correction (spice.py:424-428;
+        the geocentric TDB-TT conversion itself is part of the input
+        timescale) — and requires Earth positions in the ephemeris
+        (``SpacecraftEphemeris.pos_earth``); without them it is omitted,
+        as in releases before round 4.
         """
         t = np.asarray(time_nocorr, np.float64)
         jd = t + 2457000.0 if btjd else t
@@ -187,6 +213,16 @@ class TimeCorrector:
         shapiro = -2.0 * GM_SUN_C3_DAYS * np.log(
             np.maximum(1.0 - cos_psi, 1e-12))
         corr = romer + shapiro
+        if self.eph.pos_earth is not None:
+            earth = self._interp_earth(jd)                        # (T, 3) km
+            geo = pos - earth                                     # sc wrt geocentre
+            # Earth barycentric velocity by central difference (km/s):
+            dt = 60.0 / 86400.0
+            v_earth = (self._interp_earth(jd + dt)
+                       - self._interp_earth(jd - dt)) / (2 * dt * 86400.0)
+            c_kms = 299792.458
+            einstein_s = np.sum(geo * v_earth, axis=1) / c_kms**2  # (T,) s
+            corr = corr + einstein_s[None, :] / 86400.0
         if np.ndim(ra) == 0:
             return corr[0]
         return corr

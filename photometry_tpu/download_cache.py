@@ -31,7 +31,8 @@ __all__ = ["cache_dir", "ephemeris_path", "download_cache",
 AU_KM = 149597870.7
 
 
-def horizons_to_ephemeris(source: str, output: Optional[str] = None
+def horizons_to_ephemeris(source: str, output: Optional[str] = None,
+                          earth_source: Optional[str] = None
                           ) -> SpacecraftEphemeris:
     """Convert a JPL Horizons VECTORS export to the npz ephemeris schema.
 
@@ -52,10 +53,35 @@ def horizons_to_ephemeris(source: str, output: Optional[str] = None
         source: path to the Horizons text export.
         output: optional path to write the ``.npz`` table (e.g.
             :func:`ephemeris_path` to drop it straight into the cache).
+        earth_source: optional second VECTORS export for the EARTH
+            geocentre (target ``399``, center ``500@0``); stored as
+            ``pos_earth`` (interpolated onto the spacecraft grid when the
+            grids differ) and enables the Einstein clock term of
+            ``TimeCorrector.barycentric_correction_full``.
 
     Returns:
         The parsed :class:`SpacecraftEphemeris`.
     """
+    import numpy as np
+
+    times, pos = _parse_horizons_vectors(source)
+    pos_earth = None
+    if earth_source:
+        et, ep = _parse_horizons_vectors(earth_source)
+        if len(et) == len(times) and np.allclose(et, times):
+            pos_earth = ep
+        else:
+            pos_earth = np.stack([np.interp(times, et, ep[:, k])
+                                  for k in range(3)], axis=1)
+    eph = SpacecraftEphemeris(time=times, pos=pos, pos_earth=pos_earth)
+    if output:
+        eph.save(output)
+        logger.info("Wrote %d-sample ephemeris to %s", len(times), output)
+    return eph
+
+
+def _parse_horizons_vectors(source: str):
+    """(times [JD TDB], pos [km, (M, 3)]) from one Horizons VECTORS export."""
     import re
 
     with open(source) as fh:
@@ -102,12 +128,8 @@ def horizons_to_ephemeris(source: str, output: Optional[str] = None
                 pos.append([xyz["X"], xyz["Y"], xyz["Z"]])
     if not times:
         raise ValueError(f"No state vectors parsed from {source!r}")
-    eph = SpacecraftEphemeris(time=np.asarray(times, np.float64),
-                              pos=np.asarray(pos, np.float64) * scale)
-    if output:
-        eph.save(output)
-        logger.info("Wrote %d-sample ephemeris to %s", len(times), output)
-    return eph
+    return (np.asarray(times, np.float64),
+            np.asarray(pos, np.float64) * scale)
 
 
 def cache_dir() -> str:

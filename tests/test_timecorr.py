@@ -101,14 +101,81 @@ def test_sclk2jd_linear_model(tc):
 
 
 def test_full_correction_romer_plus_shapiro(tc):
-    """Shapiro term is tiny (<~50 us) and full ~= Romer away from the Sun."""
+    """Shapiro+Einstein terms are tiny and full ~= Romer away from the Sun."""
     t = np.linspace(1325.0, 1326.0, 5)
     romer = np.asarray(tc.barycentric_correction(t, 65.0, -25.0))
     full = np.asarray(tc.barycentric_correction_full(t, 65.0, -25.0))
-    dshap = full - romer
-    assert np.all(np.abs(dshap) < 100e-6 / 86400.0)   # < 100 us, in days
-    assert np.all(np.abs(dshap) > 0)
+    extra = full - romer
+    # Shapiro <= ~20 us; Einstein (site term) <= ~|r_geo| v_earth / c^2
+    # ~ 80 us at apogee:
+    assert np.all(np.abs(extra) < 120e-6 / 86400.0)   # < 120 us, in days
+    assert np.all(np.abs(extra) > 0)
     # batched form:
     full_b = np.asarray(tc.barycentric_correction_full(
         t, np.array([65.0, 66.0]), np.array([-25.0, -25.0])))
     assert full_b.shape == (2, 5)
+
+
+def test_einstein_term_parity(tc):
+    """The Einstein clock term matches the reference's formulation
+    (spice.py:424-428): dot(r_sc/geocentre, v_earth/SSB) / c^2 — computed
+    here independently from the ephemeris tables — and is absent when the
+    ephemeris carries no Earth positions."""
+    t = np.linspace(1325.0, 1335.0, 9)
+    jd = t + 2457000.0
+    eph = tc.eph
+    # independent reconstruction:
+    full = np.asarray(tc.barycentric_correction_full(t, 65.0, -25.0))
+    eph_noearth = SpacecraftEphemeris(time=eph.time, pos=eph.pos)
+    tc2 = TimeCorrector(eph_noearth)
+    base = np.asarray(tc2.barycentric_correction_full(t, 65.0, -25.0))
+    got_einstein = (full - base) * 86400.0                       # seconds
+
+    pos = tc.position(jd)
+    earth = tc._interp_earth(jd)
+    dt = 60.0 / 86400.0
+    v_earth = (tc._interp_earth(jd + dt) - tc._interp_earth(jd - dt)) \
+        / (2 * dt * 86400.0)
+    want = np.sum((pos - earth) * v_earth, axis=1) / 299792.458**2
+    np.testing.assert_allclose(got_einstein, want, rtol=1e-9, atol=1e-12)
+    # physical scale: the synthetic TESS orbit is 240,000 km, Earth moves
+    # ~30 km/s -> |Einstein| <= ~85 us, and it must actually move:
+    assert np.max(np.abs(want)) < 85e-6
+    assert np.ptp(want) > 1e-6
+
+
+def test_pos_earth_roundtrip(tc, tmp_path):
+    path = str(tmp_path / "eph.npz")
+    tc.eph.save(path)
+    back = SpacecraftEphemeris.load(path)
+    assert back.pos_earth is not None
+    np.testing.assert_array_equal(back.pos_earth, tc.eph.pos_earth)
+    # tables without Earth positions load as None (pre-round-4 files):
+    SpacecraftEphemeris(time=tc.eph.time, pos=tc.eph.pos).save(path)
+    assert SpacecraftEphemeris.load(path).pos_earth is None
+
+
+# Pinned regression values of the synthetic-ephemeris barycentric
+# correction (reference tests/test_fixes.py:48-110 style: precomputed
+# truth table).  These pin the *implementation* — interpolation, unit
+# chain, dot product — against silent drift; the synthetic Earth model's
+# absolute accuracy is bounded analytically at < 0.2 s (its mean-longitude
+# formula is good to ~0.01 deg over 1950-2050 -> <= 499 s * sin(0.01 deg)
+# ~ 0.09 s, plus <= 0.07 s from the 1.4e-4 AU radius truncation), well
+# inside the reference's 0.5 s fixes-scale tolerance.
+_REGRESSION = [
+    # (btjd_nocorr, ra, dec, timecorr_days)
+    (1325.0, 65.0, -25.0, -0.0016896334348192),
+    (1330.0, 65.0, -25.0, -0.0013656518252873),
+    (1340.0, 65.0, -25.0, -0.0007045854169371),
+    (1330.0, 0.0, 0.0, 0.0035518129828731),
+    (1330.0, 180.0, 60.0, -0.0033797043828192),
+    (1330.0, 280.0, -30.0, 0.0051032622774913),
+]
+
+
+def test_barycentric_regression_table(tc):
+    for btjd, ra, dec, want in _REGRESSION:
+        got = float(np.asarray(tc.barycentric_correction(
+            np.array([btjd]), ra, dec))[0])
+        assert got == pytest.approx(want, abs=1e-12), (btjd, ra, dec)

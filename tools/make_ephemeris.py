@@ -36,14 +36,22 @@ def main(argv=None) -> int:
     parser.add_argument("horizons_file", help="Horizons text export (VECTORS)")
     parser.add_argument("-o", "--output", default=None,
                         help="Output npz path (default: the worker cache)")
+    parser.add_argument("--earth", default=None, metavar="FILE",
+                        help="Optional second VECTORS export for the EARTH "
+                             "geocentre (target 399, center 500@0); enables "
+                             "the Einstein clock term of "
+                             "barycentric_correction_full.")
     args = parser.parse_args(argv)
 
     from photometry_tpu.download_cache import ephemeris_path, horizons_to_ephemeris
     out = args.output or ephemeris_path()
-    eph = horizons_to_ephemeris(args.horizons_file, output=out)
+    eph = horizons_to_ephemeris(args.horizons_file, output=out,
+                                earth_source=args.earth)
     span = eph.time[-1] - eph.time[0]
     print(f"{out}: {len(eph.time)} samples, JD {eph.time[0]:.3f}..."
-          f"{eph.time[-1]:.3f} ({span:.1f} d)")
+          f"{eph.time[-1]:.3f} ({span:.1f} d)"
+          + (", with Earth positions (Einstein term enabled)"
+             if eph.pos_earth is not None else ""))
     return 0
 
 
