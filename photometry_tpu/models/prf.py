@@ -310,10 +310,15 @@ class PRF:
         h, w = shape
         params = jnp.atleast_2d(jnp.asarray(params))
 
+        hi = jax.lax.Precision.HIGHEST
+
         def one_star(p):
             u = self._axis_values(U, self.center_y, p[0], h)   # (h, K)
             v = self._axis_values(V, self.center_x, p[1], w)   # (w, K)
-            img = u @ v.T                                       # (h, w)
+            # HIGHEST: the TPU default lowers f32 dots to one bf16 MXU
+            # pass (~1e-2 relative error in the rendered PRF — enough to
+            # blow up an iterated GN fit; see psf_fit.normal_eq):
+            img = jnp.matmul(u, v.T, precision=hi)              # (h, w)
             if cutoff_radius is not None:
                 rr = jnp.arange(h, dtype=jnp.float32)[:, None] - p[0]
                 cc = jnp.arange(w, dtype=jnp.float32)[None, :] - p[1]
@@ -336,12 +341,17 @@ class PRF:
         U, V = self._svd_factors()
         h, w = shape
 
+        hi = jax.lax.Precision.HIGHEST
+
         def one_star(r0, c0):
             u, du = self._axis_values(U, self.center_y, r0, h, with_grad=True)
             v, dv = self._axis_values(V, self.center_x, c0, w, with_grad=True)
-            q = u @ v.T
-            qr = du @ v.T
-            qc = u @ dv.T
+            # HIGHEST: bf16 MXU default corrupts the LM fit on TPU
+            # (pre-round-4 regression: 74% of fitted params off >0.01 px
+            # vs CPU, 0.4% NaN from non-PSD normal equations):
+            q = jnp.matmul(u, v.T, precision=hi)
+            qr = jnp.matmul(du, v.T, precision=hi)
+            qc = jnp.matmul(u, dv.T, precision=hi)
             if cutoff_radius is not None:
                 rr = jnp.arange(h, dtype=jnp.float32)[:, None] - r0
                 cc = jnp.arange(w, dtype=jnp.float32)[None, :] - c0

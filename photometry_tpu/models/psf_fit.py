@@ -107,23 +107,30 @@ def make_psf_fitter(prf, shape, S: int, lhood_stat: str = "Gaussian_d",
                                                         CUTOFF_RADIUS)
         else:
             return render(p), None
-        mdl = jnp.einsum("shw,s->hw", q, fluxes)
+        mdl = jnp.einsum("shw,s->hw", q, fluxes,
+                         precision=jax.lax.Precision.HIGHEST)
         return mdl, (q, qr, qc, fluxes)
 
     def normal_eq(pieces, wmap, diff):
         """(JtJ, Jt(-r)) of the weighted least squares WITHOUT materialising
         the (h*w, 3S) Jacobian.  J = -sqrt(w) * A^T with A the (3S, h*w)
-        unweighted derivative stack, so JtJ = (A*w) A^T and
-        J^T r = -(A*w) diff for diff = img - model.  One stacked buffer and
-        one MXU matmul replace the earlier sqrt/3x-scale/concat/J-transpose
-        chain (~6 full passes over an (N,T,h*w,3S) tensor per iteration —
-        the profiled 45 ms/iter of unexplained phase-2 wall)."""
+        unweighted derivative stack.  The flux scale factors of the
+        position columns (A = [f*qr; f*qc; q]) are constants of the pixel
+        contraction, so they are applied to the (3, 3, S, S) *blocks* after
+        a single stacked einsum over the raw (3, S, h*w) derivative stack —
+        the earlier concat-scale-matmul chain materialised A and A*w
+        (profiled round 4: 28 ms -> ~8 ms per LM iteration at the
+        phase-2 batch extent; /tmp-style microbench 122 -> 32 ms)."""
         q, qr, qc, fluxes = pieces
-        fs = fluxes[:, None, None]
-        A = jnp.concatenate([fs * qr, fs * qc, q], axis=0).reshape(3 * S, h * w)
-        Aw = A * wmap.reshape(1, h * w)
-        JtJ = Aw @ A.T
-        Jtg = Aw @ diff.ravel()                       # = -(J^T r)
+        hi = jax.lax.Precision.HIGHEST  # bf16 JtJ goes non-PSD -> NaN chol
+        X = jnp.stack([qr, qc, q], axis=0).reshape(3, S, h * w)
+        Xw = X * wmap.reshape(1, 1, h * w)
+        G = jnp.einsum("asp,ctp->acst", Xw, X, precision=hi)   # (3, 3, S, S)
+        g = jnp.einsum("asp,p->as", Xw, diff.ravel(), precision=hi)  # (3, S)
+        f1 = jnp.stack([fluxes, fluxes, jnp.ones_like(fluxes)])  # (3, S)
+        JtJ = (G * f1[:, None, :, None] * f1[None, :, None, :])
+        JtJ = jnp.moveaxis(JtJ, 1, 2).reshape(3 * S, 3 * S)
+        Jtg = (g * f1).reshape(3 * S)                  # = -(J^T r)
         return JtJ, Jtg
 
     def fit(img, bkg, var_const, p0, valid):
@@ -233,17 +240,77 @@ fit_psf_timeseries = functools.partial(
     _fit_psf_timeseries_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("prf", "shape", "S", "lhood_stat"))
+def _fit_fused_batch(images, backgrounds, var_const, p0, valid, mini_ap,
+                     target_idx, prf, shape, S: int):
+    """Both LM phases through the fused Pallas kernel (models/psf_pallas).
+
+    Phase 1 runs the N first cadences at full LM_ITERS; phase 2 flattens
+    (N, T) into N*T lane instances warm-started from each target's
+    first-frame solution.  Same math as the vmapped XLA path (asserted in
+    tests/test_psf_pallas.py) at ~5x the throughput: the XLA formulation
+    spends its time issuing hundreds of (N*T)-sized elementwise passes and
+    MXU-padded micro-matmuls per iteration, the kernel keeps each
+    instance's render/normal-eq/Cholesky entirely in VMEM.
+    """
+    from .psf_pallas import fused_warm_fit
+    N, T, h, w = images.shape
+    onehot = jax.nn.one_hot(target_idx, S, dtype=jnp.float32)     # (N, S)
+
+    out1 = fused_warm_fit(images[:, 0], backgrounds[:, 0], var_const, p0,
+                          valid, mini_ap, onehot, prf, shape, S, LM_ITERS)
+    p_first = out1["params"]                                      # (N, 3S)
+
+    def flat(a):                                # (N, ...) -> (N*T, ...)
+        return jnp.repeat(a, T, axis=0)
+
+    out = fused_warm_fit(images.reshape(N * T, h, w),
+                         backgrounds.reshape(N * T, h, w), var_const,
+                         flat(p_first), flat(valid), flat(mini_ap),
+                         flat(onehot), prf, shape, S, LM_ITERS_WARM)
+    params = out["params"].reshape(N, T, 3 * S)
+    fluxes = params[..., 2 * S:]
+    sel = onehot[:, None, :]
+    target_flux = jnp.sum(fluxes * sel, axis=-1)                  # (N, T)
+    rows = jnp.sum(params[..., :S] * sel, axis=-1)
+    cols = jnp.sum(params[..., S:2 * S] * sel, axis=-1)
+    return {
+        "flux": target_flux + out["flux_ap"].reshape(N, T),
+        "flux_err": jnp.sqrt(jnp.maximum(
+            out["fluxvar_target"].reshape(N, T), 0.0)),
+        "pos": jnp.stack([rows, cols], axis=-1),
+        "all_fluxes": fluxes,
+        "params": params,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("prf", "shape", "S",
+                                             "lhood_stat", "fused"))
 def fit_psf_timeseries_batch(images, backgrounds, var_const, p0, valid,
                              mini_ap, target_idx, prf, shape, S: int,
-                             lhood_stat: str = "Gaussian_d"):
+                             lhood_stat: str = "Gaussian_d",
+                             fused: Optional[bool] = None):
     """Target-batched LM PSF fit: vmap of the time-scan fitter over N.
 
     images/backgrounds: (N, T, h, w); p0: (N, 3S); valid: (N, S); mini_ap:
     (N, h, w); target_idx: (N,).  One compiled program per stamp bucket —
     the per-target Python loop of round 1 compiled one program per distinct
     stamp shape with no cross-target batching (VERDICT r1 weak #4).
+
+    ``fused`` (static) selects the fused Pallas kernel path: ``None``
+    (auto) uses it when the configuration supports it
+    (psf_pallas.fused_ok) on a single non-CPU device — multi-device runs
+    keep the pure-XLA formulation because GSPMD cannot partition a
+    ``pallas_call`` from input shardings alone (parallel/sharded.py relies
+    on exactly that), and the CPU backend would only hit the interpreter.
     """
+    from .psf_pallas import fused_ok
+    if fused is None:
+        fused = (jax.default_backend() != "cpu"
+                 and jax.device_count() == 1)
+    if fused and fused_ok(prf, shape, S, lhood_stat):
+        return _fit_fused_batch(images, backgrounds, var_const, p0, valid,
+                                mini_ap, target_idx, prf, shape, S)
+
     def one(img, bkg, p, v, m, ti):
         return _fit_psf_timeseries_impl(img, bkg, var_const, p, v, m, prf,
                                         shape, S, ti, lhood_stat)
