@@ -359,6 +359,106 @@ def bench_halo(n_targets=8, T=T_SECTOR, side=22):
     return n_targets / dt
 
 
+def bench_tpf(n_targets=1024, T=13056, h=11, w=11, grid=32, t_block=816):
+    """TPF/short-cadence aperture extraction (VERDICT r3 #7): the 13k-
+    cadence long time axis (120 s TPF cadence over ~27 d; BASELINE.md
+    config 1, SURVEY long-context case) measured on the production
+    extraction program.
+
+    The kernel timed IS the production one — core.engine.extract_flux_core,
+    which every TPF context dispatches (N=1 per postage file; N>1 for
+    tpf:NNN secondary groups, taskmanager.get_task_batch) — fed N
+    independent 11x11 TPF stamp cubes laid out as a grid x grid mosaic:
+    per target the bytes read and FLOPs are identical to N separate TPF
+    extractions, while one program serves the whole batch the way a TPU
+    wants.  The time axis streams through device-resident t_block-frame
+    blocks exactly like the production long-axis tier
+    (core.engine._extract_flux_streamed); blocks are reused so the dev
+    tunnel stays out of the measurement (same methodology as bench_tpu).
+    Each pass includes the per-target K2P2 mask build on the sum-image
+    stamps.
+    """
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, ".")
+    from photometry_tpu.core.engine import _extract_flux_batch
+    from photometry_tpu.models.k2p2 import build_masks_batch, K2P2Params
+
+    assert n_targets == grid * grid and T % t_block == 0
+    Hm, Wm = grid * h, grid * w
+    key = jax.random.PRNGKey(11)
+
+    # Mosaic sum-image: one star per 11x11 cell, synthesized on device.
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    star = jnp.exp(-0.5 * ((yy - h // 2) ** 2 + (xx - w // 2) ** 2) / 1.2 ** 2)
+    star = star / (2 * jnp.pi * 1.2 ** 2)
+    tmag = 9.0 + 2.0 * jax.random.uniform(key, (grid, grid))
+    amp = 10 ** (-0.4 * (tmag - 20.451))
+    sumimage = (jnp.kron(amp, star)
+                + 1.5 * jax.random.normal(jax.random.fold_in(key, 1),
+                                          (Hm, Wm))).astype(jnp.float32)
+    sumimage = sumimage.block_until_ready()
+
+    N = n_targets
+    r0s = (np.arange(N, dtype=np.int32) // grid) * h
+    c0s = (np.arange(N, dtype=np.int32) % grid) * w
+    r0s_d, c0s_d = jnp.asarray(r0s), jnp.asarray(c0s)
+    K = 8
+    cat_col = np.full((N, K), 1e9, np.float32)
+    cat_row = np.full((N, K), 1e9, np.float32)
+    cat_tmag = np.full((N, K), 30.0, np.float32)
+    cat_valid = np.zeros((N, K), bool)
+    cat_sid = np.zeros((N, K), np.int64)
+    cat_row[:, 0], cat_col[:, 0] = h // 2, w // 2
+    cat_tmag[:, 0] = np.asarray(tmag).ravel()
+    cat_valid[:, 0] = True
+    cat_sid[:, 0] = np.arange(N) + 1
+    cat_dev = tuple(jnp.asarray(a) for a in (
+        cat_col, cat_row, cat_tmag, cat_sid, cat_valid,
+        cat_row[:, 0], cat_col[:, 0], cat_tmag[:, 0]))
+
+    @jax.jit
+    def masks_fn(sums, r0s_, c0s_, cc, cr, ct, cs, cv, tr, tc, tt):
+        def one(r0, c0):
+            return jax.lax.dynamic_slice(sums, (r0, c0), (h, w))
+        stamps = jax.vmap(one)(r0s_, c0s_)
+        out = build_masks_batch(stamps, cc, cr, ct, cs, cv, tr, tc, tt,
+                                params=K2P2Params())
+        return out["mask"]
+
+    # One device-resident time block of the N stamp cubes:
+    imgs = (sumimage[None]
+            + 0.5 * jax.random.normal(jax.random.fold_in(key, 2),
+                                      (t_block, Hm, Wm), jnp.float32))
+    imgs = imgs.block_until_ready()
+    errs = jnp.sqrt(jnp.abs(imgs)) + 1.0
+    bkgs = jnp.zeros_like(imgs)
+    pflags = jnp.zeros((t_block, Hm, Wm), jnp.uint8)
+    windows = jnp.ones((N, h, w), bool)
+    n_blocks = T // t_block
+
+    def one_pass():
+        masks = masks_fn(sumimage, r0s_d, c0s_d, *cat_dev)
+        out = None
+        for _ in range(n_blocks):
+            out = _extract_flux_batch(imgs, errs, bkgs, pflags, masks,
+                                      r0s_d, c0s_d, h, w, windows)
+        return np.asarray(out[0][:1, :1])
+
+    one_pass()                           # warmup/compile
+    times = []
+    for _ in range(6):
+        tic = time.perf_counter()
+        one_pass()
+        times.append(time.perf_counter() - tic)
+        if len(times) >= 3:
+            last = sorted(times[-3:])
+            if (last[-1] - last[0]) / last[0] < 0.10:
+                break
+    dt = float(np.median(times[-3:]))
+    return N / dt
+
+
 def bench_backgrounds(n_frames=16, tile=64):
     """Secondary metric: FFI backgrounds/sec per CCD stack (prepare stage)."""
     import jax
@@ -471,6 +571,7 @@ def main():
     psf_prod_rate = bench_psf_production()
     linpsf_rate = bench_linpsf_production()
     halo_rate = bench_halo()
+    tpf_rate = bench_tpf()
     ref_rate = bench_reference_numpy(sumimage, rows, cols)
     result = {
         "metric": "aperture_extraction_targets_per_sec_per_chip",
@@ -487,6 +588,7 @@ def main():
         "psf_table_sector_targets_per_sec": round(float(psf_prod_rate), 2),
         "linpsf_table_sector_targets_per_sec": round(float(linpsf_rate), 2),
         "halo_sector_targets_per_sec": round(float(halo_rate), 2),
+        "tpf_short_cadence_targets_per_sec": round(float(tpf_rate), 2),
         "method_configs": {
             "psf_table_sector": f"T={T_SECTOR}, 4096 targets, 13px stamps, "
                                 "S=4, Catmull-Rom table PRF, 96-target chunks",
@@ -494,6 +596,10 @@ def main():
                                    "S=4, table PRF, per-frame linear solves",
             "halo_sector": f"T={T_SECTOR}, 22x22 saturated stamps, TV-min "
                            "weight descent",
+            "tpf_short_cadence": "T=13056 (120 s cadence, ~27 d), 1024 "
+                                 "independent 11px TPF stamp cubes, K2P2 "
+                                 "masks + production extraction program, "
+                                 "816-frame streamed blocks",
         },
         "cpu_baseline_targets_per_sec": round(float(ref_rate), 3),
     }
