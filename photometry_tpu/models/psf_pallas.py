@@ -276,8 +276,10 @@ def _kernel(img_ref, wmap_ref, miniw_ref, p0_ref, valid_ref, onehot_ref,
         fluxvar_t = fluxvar_t + var_s * onehot_ref[s:s + 1]
     flux_ap = sum_pix(miniw_ref[...] * diff)
 
+    pad_rows = params_ref.shape[0] - P3
     params_ref[...] = jnp.concatenate(
-        p + [jnp.zeros((16 - P3, LANES), jnp.float32)], axis=0)
+        p + ([jnp.zeros((pad_rows, LANES), jnp.float32)] if pad_rows else []),
+        axis=0)
     extra_ref[...] = jnp.concatenate(
         [flux_ap, fluxvar_t, jnp.zeros((6, LANES), jnp.float32)], axis=0)
 
@@ -331,10 +333,13 @@ def fused_warm_fit(images, backgrounds, var_const, p0, valid, miniw, onehot,
     def flat_pix(a):
         return jnp.pad(a, ((0, 0), (0, 0), (0, wp - w))).reshape(B, HWP)
 
+    # Parameter rows padded to a sublane multiple that holds all 3S rows
+    # (S=6..8 passes fused_ok; a fixed 16 underflowed there — trace crash):
+    RP = max(16, -(-3 * S // 8) * 8)
     img_in = to_lanes(flat_pix(img0))
     wmap_in = to_lanes(flat_pix(wmap.astype(jnp.float32)))
     miniw_in = to_lanes(flat_pix((miniw & good).astype(jnp.float32)))
-    p0_in = to_lanes(p0.astype(jnp.float32), 16)
+    p0_in = to_lanes(p0.astype(jnp.float32), RP)
     valid_in = to_lanes(valid.astype(jnp.float32), 8)
     onehot_in = to_lanes(onehot.astype(jnp.float32), 8)
 
@@ -346,7 +351,7 @@ def fused_warm_fit(images, backgrounds, var_const, p0, valid, miniw, onehot,
 
     grid = (Bp // LANES,)
     pix_spec = pl.BlockSpec((HWP, LANES), lambda i: (0, i))
-    row16 = pl.BlockSpec((16, LANES), lambda i: (0, i))
+    row16 = pl.BlockSpec((RP, LANES), lambda i: (0, i))
     row8 = pl.BlockSpec((8, LANES), lambda i: (0, i))
     tbl_u = pl.BlockSpec((K, Lmu, 4 * os_), lambda i: (0, 0, 0))
     tbl_v = pl.BlockSpec((K, Lmv, 4 * os_), lambda i: (0, 0, 0))
@@ -361,7 +366,7 @@ def fused_warm_fit(images, backgrounds, var_const, p0, valid, miniw, onehot,
         in_specs=[pix_spec, pix_spec, pix_spec, row16, row8, row8,
                   tbl_u, tbl_v],
         out_specs=[row16, row8],
-        out_shape=[jax.ShapeDtypeStruct((16, Bp), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((RP, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((8, Bp), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
         **kwargs,

@@ -123,6 +123,33 @@ def test_batch_fused_path_matches_xla():
     assert out_f["all_fluxes"].shape == out_x["all_fluxes"].shape
 
 
+def test_fused_crowded_s6_matches_xla():
+    """S=6 (3S=18 parameter rows > the old fixed 16-row buffer): fused_ok
+    admits S<=8, so the kernel must size its parameter blocks to S —
+    the fixed 16 crashed at trace time on any crowded stamp (round-4
+    review find)."""
+    prf, imgs, bkgs, p0, valid, mini, onehot = _problem(B=8, S=6, seed=11)
+    B, h, w = imgs.shape
+    S = valid.shape[1]
+    assert fused_ok(prf, (h, w), S, "Gaussian_d")
+    out = fused_warm_fit(imgs, bkgs, jnp.float32(1.0), p0, valid, mini,
+                         onehot, prf, (h, w), S, 4)
+    fit = make_psf_fitter(prf, (h, w), S, "Gaussian_d", n_iters=4)
+    p_ref, _, _ = jax.jit(jax.vmap(
+        lambda i, b, p, v: fit(i, b, 1.0, p, v)))(imgs, bkgs, p0, valid)
+    p_got = np.asarray(out["params"])
+    p_ref = np.asarray(p_ref)
+    assert p_got.shape == (B, 3 * S)
+    vm = np.asarray(valid)
+    # Six stars uniform in a +-2 px box are heavily blended; bound the
+    # bulk tightly and the tail loosely (same rationale as above).
+    pos_d = np.abs(p_got[:, :2 * S] - p_ref[:, :2 * S])
+    assert np.percentile(pos_d[np.concatenate([vm, vm], 1)], 90) < 5e-3
+    rel = (np.abs(p_got[:, 2 * S:] - p_ref[:, 2 * S:])
+           / np.maximum(p_ref[:, 2 * S:], 10.0))
+    assert np.percentile(rel[vm], 90) < 5e-3, rel[vm]
+
+
 def test_fused_handles_nan_pixels():
     prf, imgs, bkgs, p0, valid, mini, onehot = _problem(B=8, seed=3)
     B, h, w = imgs.shape
