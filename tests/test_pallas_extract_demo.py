@@ -1,10 +1,20 @@
-"""Tests of the Pallas extraction kernel (interpret mode on CPU)."""
+"""Tests of the tools/ Pallas DMA extraction demo (interpret mode on CPU)."""
+
+import importlib.util
+import os
 
 import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from photometry_tpu.ops.pallas_extract import pallas_extract_flux, pallas_available
+_spec = importlib.util.spec_from_file_location(
+    "pallas_extract_demo",
+    os.path.join(os.path.dirname(__file__), "..", "tools",
+                 "pallas_extract_demo.py"))
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+pallas_extract_flux = _mod.pallas_extract_flux
+pallas_available = _mod.pallas_available
 
 
 @pytest.mark.skipif(not pallas_available(), reason="pallas unavailable")

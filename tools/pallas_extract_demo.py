@@ -17,8 +17,13 @@ Mosaic tiling constraints shape the design:
   processed in GROUPs of 8 and the time axis in chunks.
 
 SUPERSEDED for production by ops/bandext.py (the full-pass banded MXU
-kernel, ~7x faster at >10k targets); kept as the per-stamp DMA-streaming
-alternative and as a worked example of the scalar-prefetch DMA pattern.
+kernel, ~7x faster at >10k targets) and moved out of the package
+(VERDICT r3 weak #5): a sparse-field niche would save at most ~0.2 s per
+sector-CCD (the banded full pass costs ~17 ms/128-frame block regardless
+of N) while this kernel produces only 1 of the 5 production outputs
+(flux, not err/bkg/centroid/shenanigans).  Kept under tools/ as the
+worked example of the scalar-prefetch per-stamp DMA-streaming pattern;
+tests/test_pallas_extract_demo.py still exercises it in interpret mode.
 """
 
 from __future__ import annotations
