@@ -332,13 +332,14 @@ def bench_linpsf_production(n_targets=4096, T=T_SECTOR, h=13, w=13, S=4,
 
 def bench_halo(n_targets=8, T=T_SECTOR, side=22):
     """Halo photometry on saturated-star stamps (BASELINE.md config 5 /
-    VERDICT r2: 22x22 saturated target, full sector): the TV-min softmax
-    weight descent (models/halo.tvmin_weights) vmapped over a small batch,
-    normalised pixel flux synthesized on device."""
+    VERDICT r2: 22x22 saturated target, full sector): the production
+    batched TV-min program (models/halo.tvmin_weights_batch — the exact
+    function extract_halo_batch dispatches per time segment), normalised
+    pixel flux synthesized on device."""
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, ".")
-    from photometry_tpu.models.halo import tvmin_weights
+    from photometry_tpu.models.halo import tvmin_weights_batch
 
     P = side * side
     key = jax.random.PRNGKey(9)
@@ -347,13 +348,13 @@ def bench_halo(n_targets=8, T=T_SECTOR, side=22):
     sens = 1.0 + 0.01 * jnp.sin(t + jnp.linspace(0, 3, P)[None, None, :])
     flux_norm = (sens + 0.002 * jax.random.normal(key, (n_targets, T, P))
                  ).astype(jnp.float32).block_until_ready()
-    good = jnp.ones((T,), bool)
+    good = jnp.ones((n_targets, T), bool)
+    pix_ok = jnp.ones((n_targets, P), bool)
 
-    fn = jax.jit(jax.vmap(lambda f: tvmin_weights(f, good)))
-    w, tv = fn(flux_norm)
+    w, tv = tvmin_weights_batch(flux_norm, good, pix_ok)
     np.asarray(w[0, 0])                  # warmup/compile
     tic = time.perf_counter()
-    w, tv = fn(flux_norm)
+    w, tv = tvmin_weights_batch(flux_norm, good, pix_ok)
     np.asarray(w[0, 0])
     dt = time.perf_counter() - tic
     return n_targets / dt

@@ -57,6 +57,68 @@ SECTOR_SPLITS = {
 }
 
 
+def _tvmin_core(flux_norm, good_time, pixel_ok, maxiter: int, lr: float,
+                objective: str):
+    """TV-min on one (T, P) instance; see :func:`tvmin_weights`.
+
+    The objective is linear-in-``w`` up front: the time-difference operator
+    ``D`` (first- or second-order, good-cadence rows only) and the
+    good-cadence column means are precomputed ONCE outside the Adam loop, so
+    each iteration is one (T, P) matvec forward + its transpose backward —
+    the original per-iteration ``F = flux_norm @ w`` + masked-diff chain did
+    the same reads plus a dozen extra (T,)-sized passes.  Numerically this
+    is also *better*: dF comes from contracting pre-differenced rows
+    (values ~1e-2) instead of subtracting two ~1.0 sums.
+    """
+    T, P = flux_norm.shape
+    gt = good_time.astype(flux_norm.dtype)
+    n_good = jnp.maximum(jnp.sum(gt), 1.0)
+    mean_fn = (gt @ flux_norm) / n_good                     # (P,)
+    if objective == "tv_o2":
+        ok = (good_time[2:] & good_time[1:-1] & good_time[:-2])
+        D = ((flux_norm[2:] - 2.0 * flux_norm[1:-1] + flux_norm[:-2])
+             * ok[:, None].astype(flux_norm.dtype))
+    else:
+        both = good_time[1:] & good_time[:-1]
+        D = ((flux_norm[1:] - flux_norm[:-1])
+             * both[:, None].astype(flux_norm.dtype))
+    # Masked-pixel logits -> softmax weight exactly 0 (padded/unusable
+    # pixels in the batched path); gradients never flow to them.
+    zmask = jnp.where(pixel_ok, 0.0, -1e30).astype(jnp.float32)
+    z0 = jnp.zeros(P, jnp.float32)
+
+    def objective_fn(z):
+        w = jax.nn.softmax(z + zmask)
+        dF = D @ w
+        if objective == "l2v":
+            num = jnp.sum(dF * dF)
+        elif objective == "l3v":
+            num = jnp.sum(jnp.abs(dF) ** 3)
+        else:
+            num = jnp.sum(jnp.abs(dF))
+        mean_F = jnp.dot(mean_fn, w)
+        return num / jnp.maximum(mean_F, 1e-30)
+
+    grad_fn = jax.value_and_grad(objective_fn)
+
+    # Adam:
+    def step(state, _):
+        z, m, v, t = state
+        val, g = grad_fn(z)
+        t = t + 1
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mhat = m / (1 - 0.9 ** t)
+        vhat = v / (1 - 0.999 ** t)
+        z = z - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return (z, m, v, t), val
+
+    state0 = (z0, jnp.zeros(P), jnp.zeros(P), jnp.float32(0.0))
+    (z, _, _, _), vals = jax.lax.scan(step, state0, None, length=maxiter)
+    w = jax.nn.softmax(z + zmask)
+    return w, objective_fn(z)
+
+
 @functools.partial(jax.jit, static_argnames=("maxiter", "objective"))
 def tvmin_weights(flux_norm, good_time, maxiter: int = MAXITER,
                   lr: float = LEARNING_RATE, objective: str = "tv"):
@@ -78,46 +140,34 @@ def tvmin_weights(flux_norm, good_time, maxiter: int = MAXITER,
     """
     if objective not in OBJECTIVES:
         raise ValueError(f"Invalid halo objective: '{objective}'")
-    T, P = flux_norm.shape
-    z0 = jnp.zeros(P, jnp.float32)
+    P = flux_norm.shape[1]
+    return _tvmin_core(flux_norm, good_time, jnp.ones(P, bool),
+                       maxiter, lr, objective)
 
-    def objective_fn(z):
-        w = jax.nn.softmax(z)
-        F = flux_norm @ w                      # (T,)
-        mean_F = jnp.sum(jnp.where(good_time, F, 0.0)) / jnp.maximum(jnp.sum(good_time), 1)
-        if objective == "tv_o2":
-            ok = good_time[2:] & good_time[1:-1] & good_time[:-2]
-            d2 = jnp.where(ok, jnp.abs(F[2:] - 2 * F[1:-1] + F[:-2]), 0.0)
-            num = jnp.sum(d2)
-        else:
-            both = good_time[1:] & good_time[:-1]
-            dF = jnp.where(both, jnp.abs(F[1:] - F[:-1]), 0.0)
-            if objective == "l2v":
-                num = jnp.sum(dF * dF)
-            elif objective == "l3v":
-                num = jnp.sum(dF ** 3)
-            else:
-                num = jnp.sum(dF)
-        return num / jnp.maximum(mean_F, 1e-30)
 
-    grad_fn = jax.value_and_grad(objective_fn)
+@functools.partial(jax.jit, static_argnames=("maxiter", "objective"))
+def tvmin_weights_batch(flux_norm, good_time, pixel_ok,
+                        maxiter: int = MAXITER, lr: float = LEARNING_RATE,
+                        objective: str = "tv"):
+    """Batched TV-min: N targets in one program (the production halo path).
 
-    # Adam:
-    def step(state, _):
-        z, m, v, t = state
-        val, g = grad_fn(z)
-        t = t + 1
-        m = 0.9 * m + 0.1 * g
-        v = 0.999 * v + 0.001 * g * g
-        mhat = m / (1 - 0.9 ** t)
-        vhat = v / (1 - 0.999 ** t)
-        z = z - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
-        return (z, m, v, t), val
+    Parameters:
+        flux_norm: (N, T, P) median-normalised pixel fluxes, pixel axis
+            padded to a common P (padding value irrelevant — masked).
+        good_time: (N, T) bool per-target objective cadences (sigclip
+            reruns differ per target).
+        pixel_ok: (N, P) bool — valid (non-padding, usable-median) pixels;
+            masked pixels get weight exactly 0.
 
-    state0 = (z0, jnp.zeros(P), jnp.zeros(P), jnp.float32(0.0))
-    (z, _, _, _), vals = jax.lax.scan(step, state0, None, length=maxiter)
-    w = jax.nn.softmax(z)
-    return w, objective_fn(z)
+    Returns:
+        (w, tv): (N, P) weights (each row sums to 1 over its valid pixels)
+        and (N,) final objective values.
+    """
+    if objective not in OBJECTIVES:
+        raise ValueError(f"Invalid halo objective: '{objective}'")
+    return jax.vmap(
+        lambda f, g, m: _tvmin_core(f, g, m, maxiter, lr, objective)
+    )(flux_norm, good_time, pixel_ok)
 
 
 def find_split_times(sector: int, time, timecorr) -> tuple:
@@ -152,115 +202,173 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER,
     the first optimisation, cadences deviating >3 robust sigma from the
     segment median flux are dropped from the objective and the weights
     re-optimised (halophot's sigclip option, halo_photometry.py:87-97).
+
+    The whole batch runs as ONE device program per time segment
+    (:func:`tvmin_weights_batch`, pixel axes padded to a common width) with
+    one batched stamp fetch up front — the reference optimises one target
+    at a time (halo_photometry.py:176-196).
     """
     from ..core.engine import TargetResult, _full_catalog_positions
     T = ctx.n_times
     H, W = ctx.shape
     cat_all = _full_catalog_positions(ctx)
-    results = []
 
+    def _error(sid, tgt, msg):
+        return TargetResult(
+            starid=int(sid), method="halo", status=STATUS.ERROR,
+            sector=ctx.sector, camera=ctx.camera, ccd=ctx.ccd,
+            cadence=ctx.cadence, data_rel=ctx.data_rel, target=tgt,
+            lightcurve={}, details={"errors": [msg]},
+            num_frm=ctx.num_frm, n_readout=ctx.n_readout,
+            ticver=ctx.catalog.settings.ticver)
+
+    # ---- Phase 1: stamp geometry + pixel masks (host) ---------------------
+    half = STAMP_SIZE // 2
+    h = min(STAMP_SIZE, H)
+    w = min(STAMP_SIZE, W)
+    results = {}
+    work = []       # (sid, tgt, row, col, r0, c0, pixel_mask)
     for sid in starids:
         tgt = ctx.catalog.target(int(sid))
         row, col = ctx.target_position(tgt["ra"], tgt["decl"])
         # 22x22 stamp around the target (halo_photometry.py:101-102):
-        half = STAMP_SIZE // 2
         r0 = int(np.clip(int(round(row)) - half, 0, max(H - STAMP_SIZE, 0)))
         c0 = int(np.clip(int(round(col)) - half, 0, max(W - STAMP_SIZE, 0)))
-        h = min(STAMP_SIZE, H)
-        w = min(STAMP_SIZE, W)
-        s = (r0, r0 + h, c0, c0 + w)
-
-        # Plain (static) slicing: r0/c0 are Python ints, and
-        # jax.lax.dynamic_slice on a HOST cube would device_put the whole
-        # (T, H, W) array first — gigabytes through the ~12 MB/s tunnel
-        # per target (CLAUDE.md upload-hoisting rule).  Device cubes slice
-        # on device and only the stamp crosses back.
-        # [:ctx.n_times]: mesh-uploaded cubes are time-padded; slice the
-        # small crop (never the full cube) back to the true cadence count.
-        imgs = np.asarray(ctx.images[:, r0:r0 + h, c0:c0 + w])[:ctx.n_times]
-        errs = np.asarray(ctx.images_err[:, r0:r0 + h, c0:c0 + w])[:ctx.n_times]
-
         yy, xx = np.mgrid[0:h, 0:w]
         dist = np.hypot(yy + r0 - row, xx + c0 - col)
-        coll = ctx.collected[s[0]:s[1], s[2]:s[3]]
+        coll = ctx.collected[r0:r0 + h, c0:c0 + w]
         pixel_mask = coll & (dist <= DIST_MAX)
         if pixel_mask.sum() < 4:
-            results.append(TargetResult(
-                starid=int(sid), method="halo", status=STATUS.ERROR,
-                sector=ctx.sector, camera=ctx.camera, ccd=ctx.ccd,
-                cadence=ctx.cadence, data_rel=ctx.data_rel, target=tgt,
-                lightcurve={}, details={"errors": ["Too few pixels for halo photometry"]},
-                num_frm=ctx.num_frm, n_readout=ctx.n_readout,
-                ticver=ctx.catalog.settings.ticver))
+            results[int(sid)] = _error(
+                sid, tgt, "Too few pixels for halo photometry")
             continue
+        work.append((int(sid), tgt, row, col, r0, c0, pixel_mask))
 
-        good_t = np.isfinite(ctx.time)
-        quality_ok = TESSQualityFlags.filter(ctx.quality)
-        flux_pix = imgs[:, pixel_mask]                       # (T, P)
+    if not work:
+        return [results[int(s)] for s in starids]
+
+    # ---- Phase 2: one batched stamp fetch ---------------------------------
+    # Plain (static) slicing: r0/c0 are Python ints, and jax.lax.
+    # dynamic_slice on a HOST cube would device_put the whole (T, H, W)
+    # array first — gigabytes through the ~12 MB/s tunnel per target
+    # (CLAUDE.md upload-hoisting rule).  Device cubes slice + stack on
+    # device and ONE fetch brings all stamps back (~30 ms tunnel RTT per
+    # host synchronisation).  [:, :ctx.n_times]: mesh-uploaded cubes are
+    # time-padded; slice the small crops (never the full cube) back.
+    on_device = isinstance(ctx.images, jax.Array)
+    stack = jnp.stack if on_device else np.stack
+    img_slabs = stack([ctx.images[:, r0:r0 + h, c0:c0 + w]
+                       for (_, _, _, _, r0, c0, _) in work])
+    err_slabs = stack([ctx.images_err[:, r0:r0 + h, c0:c0 + w]
+                       for (_, _, _, _, r0, c0, _) in work])
+    imgs_all = np.asarray(img_slabs, np.float64)[:, :T]     # (N, T, h, w)
+    errs_all = np.asarray(err_slabs, np.float64)[:, :T]
+
+    # ---- Phase 3: per-target normalised pixel matrices, padded ------------
+    good_t = np.isfinite(ctx.time)
+    quality_ok = TESSQualityFlags.filter(ctx.quality)
+    fns, usables, meds, n_sats = [], [], [], []
+    kept = []
+    for i, (sid, tgt, row, col, r0, c0, pixel_mask) in enumerate(work):
+        flux_pix = imgs_all[i][:, pixel_mask]               # (T, P_i)
         med = np.nanmedian(flux_pix, axis=0)
         usable = np.isfinite(med) & (med > 0)
-        flux_pix = flux_pix[:, usable]
-        med = med[usable]
-        P = flux_pix.shape[1]
-        fn = flux_pix / med[None, :]
-        fn = np.nan_to_num(fn, nan=1.0)
+        if usable.sum() < 1:
+            results[sid] = _error(sid, tgt, "Halo optimization failed")
+            continue
+        fn = flux_pix[:, usable] / med[usable][None, :]
+        fns.append(np.nan_to_num(fn, nan=1.0))
+        usables.append(usable)
+        meds.append(med[usable])
+        # Saturated pixels among the usable mask pixels (diagnostic the
+        # reference stores per segment via halophot's weightmap dict):
+        n_sats.append(int(np.sum(med[usable] > SATURATION_FLUX)))
+        kept.append(i)
+    work = [work[i] for i in kept]
+    imgs_all, errs_all = imgs_all[kept], errs_all[kept]
+    if not work:
+        return [results[int(s)] for s in starids]
 
-        # Segments from split times:
-        splits = find_split_times(ctx.sector, ctx.time, ctx.timecorr)
-        edges = [-np.inf] + (list(splits) if splits else []) + [np.inf]
+    N = len(work)
+    # Pixel axis padded to a common lane-friendly width (masked pixels get
+    # weight exactly 0 in the softmax):
+    Ppad = max(128, int(-(-max(f.shape[1] for f in fns) // 128) * 128))
+    fn_pad = np.ones((N, T, Ppad), np.float32)
+    pix_ok = np.zeros((N, Ppad), bool)
+    for i, f in enumerate(fns):
+        fn_pad[i, :, :f.shape[1]] = f
+        pix_ok[i, :f.shape[1]] = True
+
+    # ---- Phase 4: batched TV-min per time segment -------------------------
+    splits = find_split_times(ctx.sector, ctx.time, ctx.timecorr)
+    edges = [-np.inf] + (list(splits) if splits else []) + [np.inf]
+    seg_weights = []    # (seg_idx, (N, Ppad) weights)
+    fn_dev = jnp.asarray(fn_pad)
+    pix_dev = jnp.asarray(pix_ok)
+    for a, b in zip(edges[:-1], edges[1:]):
+        seg = good_t & (ctx.time > a) & (ctx.time <= b)
+        if seg.sum() < 3:
+            continue
+        seg_idx = np.where(seg)[0]
+        gt = (quality_ok & seg)[seg_idx]                    # shared (T_seg,)
+        gt_b = np.broadcast_to(gt, (N, gt.size))
+        fseg = fn_dev[:, seg_idx]
+        w_b, _tv = tvmin_weights_batch(fseg, jnp.asarray(gt_b), pix_dev,
+                                       maxiter=maxiter, objective=objective)
+        w_b = np.asarray(w_b, np.float64)
+        if sigclip:
+            # One robust-sigma clipping pass on the optimised fluxes; the
+            # whole batch re-optimises with per-target keep masks (targets
+            # that don't clip rerun with their original mask — the descent
+            # is deterministic, so their weights are unchanged):
+            F0 = np.einsum("ntp,np->nt", fn_pad[:, seg_idx], w_b)
+            keep_b = np.empty((N, gt.size), bool)
+            any_clip = False
+            for i in range(N):
+                medF = np.nanmedian(F0[i][gt])
+                mad = 1.4826 * np.nanmedian(np.abs(F0[i][gt] - medF))
+                keep = gt & (np.abs(F0[i] - medF) <= 3.0 * max(mad, 1e-12))
+                if keep.sum() >= 3 and keep.sum() < gt.sum():
+                    keep_b[i] = keep
+                    any_clip = True
+                else:
+                    keep_b[i] = gt
+            if any_clip:
+                w_b, _tv = tvmin_weights_batch(
+                    fseg, jnp.asarray(keep_b), pix_dev,
+                    maxiter=maxiter, objective=objective)
+                w_b = np.asarray(w_b, np.float64)
+        seg_weights.append((seg_idx, w_b))
+
+    # ---- Phase 5: per-target light curves + results -----------------------
+    for i, (sid, tgt, row, col, r0, c0, pixel_mask) in enumerate(work):
+        s = (r0, r0 + h, c0, c0 + w)
+        usable = usables[i]
+        med = meds[i]
+        P = med.size
         flux_out = np.full(T, np.nan)
         flux_err_out = np.full(T, np.nan)
         wm_list, cad1_list, cad2_list, sat_list = [], [], [], []
         normfactor = float(np.asarray(mag2flux(tgt["tmag"])))
-
-        # Saturated pixels among the usable mask pixels (diagnostic the
-        # reference stores per segment via halophot's weightmap dict):
-        n_sat = int(np.sum(med > SATURATION_FLUX))
-
-        for a, b in zip(edges[:-1], edges[1:]):
-            seg = good_t & (ctx.time > a) & (ctx.time <= b)
-            if seg.sum() < 3:
-                continue
-            seg_idx = np.where(seg)[0]
-            gt = (quality_ok & seg)[seg_idx]
-            fseg = jnp.asarray(fn[seg_idx], jnp.float32)
-            wseg, tv = tvmin_weights(fseg, jnp.asarray(gt), maxiter=maxiter,
-                                     objective=objective)
-            wseg = np.asarray(wseg, np.float64)
-            if sigclip:
-                # One robust-sigma clipping pass on the optimised flux:
-                F0 = fn[seg_idx] @ wseg
-                medF = np.nanmedian(F0[gt])
-                mad = 1.4826 * np.nanmedian(np.abs(F0[gt] - medF))
-                keep = gt & (np.abs(F0 - medF) <= 3.0 * max(mad, 1e-12))
-                if keep.sum() >= 3 and keep.sum() < gt.sum():
-                    wseg, tv = tvmin_weights(fseg, jnp.asarray(keep),
-                                             maxiter=maxiter,
-                                             objective=objective)
-                    wseg = np.asarray(wseg, np.float64)
-            F = fn[seg_idx] @ wseg
+        for seg_idx, w_b in seg_weights:
+            wseg = w_b[i, :P]
+            F = fns[i][seg_idx] @ wseg
             flux_out[seg_idx] = F * normfactor
             # weightmap in raw-flux units (w applied to raw pixel values):
             wm_pix = np.zeros(pixel_mask.sum())
             wm_pix[usable] = wseg / med
             wm = np.zeros((h, w))
             wm[pixel_mask] = wm_pix
-            err_seg = errs[seg_idx]
+            err_seg = errs_all[i][seg_idx]
             flux_err_out[seg_idx] = np.abs(normfactor) * np.sqrt(
                 np.nansum(wm[None] ** 2 * err_seg ** 2, axis=(1, 2)))
             wm_list.append(wm.astype(np.float32))
             cad1_list.append(int(ctx.cadenceno[seg_idx[0]]))
             cad2_list.append(int(ctx.cadenceno[seg_idx[-1]]))
-            sat_list.append(n_sat)
+            sat_list.append(n_sats[i])
 
         if not wm_list:
-            results.append(TargetResult(
-                starid=int(sid), method="halo", status=STATUS.ERROR,
-                sector=ctx.sector, camera=ctx.camera, ccd=ctx.ccd,
-                cadence=ctx.cadence, data_rel=ctx.data_rel, target=tgt,
-                lightcurve={}, details={"errors": ["Halo optimization failed"]},
-                num_frm=ctx.num_frm, n_readout=ctx.n_readout,
-                ticver=ctx.catalog.settings.ticver))
+            results[sid] = _error(sid, tgt, "Halo optimization failed")
             continue
 
         # Positions: catalog + jitter (halo doesn't compute centroids):
@@ -317,7 +425,7 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER,
             if ctx.datasource == "ffi":
                 stamp_wcs.crpix = stamp_wcs.crpix - np.array([c0, r0])
 
-        results.append(TargetResult(
+        results[sid] = TargetResult(
             starid=int(sid), method="halo", status=STATUS.OK,
             sector=ctx.sector, camera=ctx.camera, ccd=ctx.ccd,
             cadence=ctx.cadence, data_rel=ctx.data_rel, target=tgt,
@@ -327,5 +435,5 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER,
             stamp=s, details=details, additional_headers=add_headers,
             skip_targets=skip_targets, num_frm=ctx.num_frm,
             n_readout=ctx.n_readout, ticver=ctx.catalog.settings.ticver,
-            stamp_wcs=stamp_wcs))
-    return results
+            stamp_wcs=stamp_wcs)
+    return [results[int(s)] for s in starids]
