@@ -88,7 +88,7 @@ def _kernel(img_ref, wmap_ref, miniw_ref, p0_ref, valid_ref, onehot_ref,
     pv = valid + valid + valid                        # per-parameter mask
 
     def axis_eval(coord, f4_ref, b_lo, b_hi, L0, center, npix, Lm):
-        """coord (1, 128) -> (vals, dvals): K lists of npix (1, 128) rows."""
+        """coord (1, 128) -> (vals, dvals): K lists of (npix, 128) arrays."""
         y0 = (0.0 - coord) * float(os_) + float(center)
         fl = jnp.floor(y0)
         t = y0 - fl
@@ -113,10 +113,10 @@ def _kernel(img_ref, wmap_ref, miniw_ref, p0_ref, valid_ref, onehot_ref,
         # (a per-lane band selection as STATIC slices of a padded Bw):
         mI = jax.lax.broadcasted_iota(jnp.int32, (Lm, LANES), 0)
         OH0 = (mI == m0).astype(jnp.float32)
-        # per-pixel domain validity (f32 factors):
-        vfs = [jnp.where((y0 + float(os_ * i) >= 0.0)
-                         & (y0 + float(os_ * i) <= float(L0 - 1)), 1.0, 0.0)
-               for i in range(npix)]
+        # per-pixel domain validity as ONE (npix, 128) factor:
+        yv = y0 + jax.lax.broadcasted_iota(          # Mosaic: iota must be
+            jnp.int32, (npix, LANES), 0).astype(jnp.float32) * float(os_)
+        vf = jnp.where((yv >= 0.0) & (yv <= float(L0 - 1)), 1.0, 0.0)
         dims = (((1,), (0,)), ((), ()))
         zpad = jnp.zeros((npix, LANES), jnp.float32)
         us, dus = [], []
@@ -133,15 +133,17 @@ def _kernel(img_ref, wmap_ref, miniw_ref, p0_ref, valid_ref, onehot_ref,
                                       preferred_element_type=jnp.float32)
             BwP = jnp.concatenate([Bw, zpad], axis=0)
             dBwP = jnp.concatenate([dBw, zpad], axis=0)
-            rows_u, rows_du = [], []
-            for i in range(npix):
-                ui = jnp.sum(OH0 * BwP[i:i + Lm], axis=0, keepdims=True)
-                dui = jnp.sum(OH0 * dBwP[i:i + Lm], axis=0,
-                              keepdims=True) * float(-os_)
-                rows_u.append(ui * vfs[i])
-                rows_du.append(dui * vfs[i])
-            us.append(rows_u)
-            dus.append(rows_du)
+            # All npix band selections in one multiply + one single-axis
+            # reduce over a stacked (npix, Lm, 128) window tensor (the
+            # per-row loop issued 2*npix vector ops per k — vector-issue
+            # overhead was the kernel's bound, measured flat in the chunk
+            # size r4):
+            win_u = jnp.stack([BwP[i:i + Lm] for i in range(npix)], axis=0)
+            win_du = jnp.stack([dBwP[i:i + Lm] for i in range(npix)], axis=0)
+            u_k = jnp.sum(win_u * OH0[None], axis=1) * vf
+            du_k = jnp.sum(win_du * OH0[None], axis=1) * (vf * float(-os_))
+            us.append(u_k)
+            dus.append(du_k)
         return us, dus
 
     # static pixel-grid coordinates of the flattened (h, wp) stamp:
@@ -153,22 +155,26 @@ def _kernel(img_ref, wmap_ref, miniw_ref, p0_ref, valid_ref, onehot_ref,
     def render(p):
         """q/qr/qc per star at parameters p (3S rows of (1,128))."""
         qs, qrs, qcs = [], [], []
+        zrow = jnp.zeros((wp - w, LANES), jnp.float32)
         for s in range(S):
             r_s = p[s]
             c_s = p[S + s]
             us, dus = axis_eval(r_s, f4u_ref, b_lo_u, b_hi_u, L0u, cy, h, Lmu)
             vs, dvs = axis_eval(c_s, f4v_ref, b_lo_v, b_hi_v, L0v, cx, w, Lmv)
-            zrow = jnp.zeros((wp - w, LANES), jnp.float32)
             q = qr = qc = None
             for k in range(K):
-                v_full = jnp.concatenate(vs[k] + [zrow], axis=0)    # (wp, L)
-                dv_full = jnp.concatenate(dvs[k] + [zrow], axis=0)
-                q_rows = [us[k][a] * v_full for a in range(h)]
-                qr_rows = [dus[k][a] * v_full for a in range(h)]
-                qc_rows = [us[k][a] * dv_full for a in range(h)]
-                qk = jnp.concatenate(q_rows, axis=0)                # (HWP, L)
-                qrk = jnp.concatenate(qr_rows, axis=0)
-                qck = jnp.concatenate(qc_rows, axis=0)
+                v_full = jnp.concatenate([vs[k], zrow], axis=0)     # (wp, L)
+                dv_full = jnp.concatenate([dvs[k], zrow], axis=0)
+                # Separable outer product as ONE broadcast multiply on a
+                # (h, wp, 128) tensor; wp % 8 == 0 makes the reshape to
+                # (HWP, 128) a pure sublane merge (no relayout) — the
+                # per-row formulation issued 3*h vector multiplies + 3
+                # concats per (star, k):
+                u3 = us[k][:, None, :]                              # (h,1,L)
+                du3 = dus[k][:, None, :]
+                qk = (u3 * v_full[None]).reshape(HWP, LANES)
+                qrk = (du3 * v_full[None]).reshape(HWP, LANES)
+                qck = (u3 * dv_full[None]).reshape(HWP, LANES)
                 q = qk if q is None else q + qk
                 qr = qrk if qr is None else qr + qrk
                 qc = qck if qc is None else qc + qck
