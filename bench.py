@@ -572,6 +572,7 @@ def main():
     psf_prod_rate = bench_psf_production()
     linpsf_rate = bench_linpsf_production()
     halo_rate = bench_halo()
+    halo_batch_rate = bench_halo(n_targets=32)
     tpf_rate = bench_tpf()
     ref_rate = bench_reference_numpy(sumimage, rows, cols)
     result = {
@@ -589,14 +590,17 @@ def main():
         "psf_table_sector_targets_per_sec": round(float(psf_prod_rate), 2),
         "linpsf_table_sector_targets_per_sec": round(float(linpsf_rate), 2),
         "halo_sector_targets_per_sec": round(float(halo_rate), 2),
+        "halo_sector_batch32_targets_per_sec": round(float(halo_batch_rate), 2),
         "tpf_short_cadence_targets_per_sec": round(float(tpf_rate), 2),
         "method_configs": {
             "psf_table_sector": f"T={T_SECTOR}, 4096 targets, 13px stamps, "
                                 "S=4, Catmull-Rom table PRF, 96-target chunks",
             "linpsf_table_sector": f"T={T_SECTOR}, 4096 targets, 13px stamps, "
                                    "S=4, table PRF, per-frame linear solves",
-            "halo_sector": f"T={T_SECTOR}, 22x22 saturated stamps, TV-min "
-                           "weight descent",
+            "halo_sector": f"T={T_SECTOR}, 22x22 saturated stamps, one "
+                           "batched TV-min descent program (8 targets; "
+                           "batch32 row = same program at 32 — the "
+                           "descent is latency-bound below ~32 targets)",
             "tpf_short_cadence": "T=13056 (120 s cadence, ~27 d), 1024 "
                                  "independent 11px TPF stamp cubes, K2P2 "
                                  "masks + production extraction program, "
