@@ -30,6 +30,43 @@ def test_tvmin_downweights_noisy_pixels():
     assert np.std(F - signal) < 0.3 * np.std(Fm - signal)
 
 
+def test_tvmin_batch_padding_parity():
+    """The batched production path (padded pixel axes + masked softmax)
+    must match per-target tvmin_weights on the unpadded matrices: the
+    descent is deterministic and masked logits pin padded weights to 0, so
+    weights and objectives agree to f32 reduction-order tolerance."""
+    from photometry_tpu.models.halo import tvmin_weights_batch
+    rng = np.random.default_rng(11)
+    T = 150
+    sizes = (7, 12, 5)                       # heterogeneous pixel counts
+    Ppad = 16
+    signal = 1.0 + 0.02 * np.sin(np.linspace(0, 6 * np.pi, T))
+    fns, goods = [], []
+    for i, P in enumerate(sizes):
+        fn = signal[:, None] * (1 + rng.normal(0, 0.01, (T, P)))
+        good = np.ones(T, bool)
+        good[rng.integers(0, T, 5 + 3 * i)] = False   # per-target cadence masks
+        fns.append(fn.astype(np.float32))
+        goods.append(good)
+    fn_pad = np.ones((len(sizes), T, Ppad), np.float32)
+    pix_ok = np.zeros((len(sizes), Ppad), bool)
+    for i, fn in enumerate(fns):
+        fn_pad[i, :, :fn.shape[1]] = fn
+        pix_ok[i, :fn.shape[1]] = True
+    w_b, tv_b = tvmin_weights_batch(jnp.asarray(fn_pad),
+                                    jnp.asarray(np.stack(goods)),
+                                    jnp.asarray(pix_ok))
+    w_b, tv_b = np.asarray(w_b), np.asarray(tv_b)
+    for i, (fn, good) in enumerate(zip(fns, goods)):
+        w_i, tv_i = tvmin_weights(jnp.asarray(fn), jnp.asarray(good))
+        P = fn.shape[1]
+        np.testing.assert_allclose(w_b[i, :P], np.asarray(w_i),
+                                   rtol=5e-4, atol=1e-6)
+        assert np.all(w_b[i, P:] == 0.0), "padded pixels must get weight 0"
+        assert w_b[i].sum() == pytest.approx(1.0, rel=1e-5)
+        assert tv_b[i] == pytest.approx(float(tv_i), rel=1e-3)
+
+
 def test_find_split_times_sector_table():
     t = np.linspace(1330, 1355, 100)
     s = find_split_times(1, t, np.zeros(100))
