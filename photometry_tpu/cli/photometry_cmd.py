@@ -68,7 +68,8 @@ def main(argv=None) -> int:
     output_folder = args.output or os.environ.get("TESSPHOT_OUTPUT") or input_folder
 
     from ..taskmanager import TaskManager
-    from ..core.dispatcher import ContextCache, photometry_batch
+    from ..core.dispatcher import (ContextCache, HaloSwitchQueue,
+                                   photometry_batch)
 
     constraints = {}
     if args.starid is not None:
@@ -93,6 +94,27 @@ def main(argv=None) -> int:
     with TaskManager(input_folder, cleanup=args.all, summary=summary) as tm, \
             ContextCache(mesh=mesh) as ctx_cache:
         n_done = 0
+        # Halo-switch candidates accumulate across lease batches and rerun
+        # as ONE halo batch (the TV-min program is latency-bound below ~32
+        # targets); single-task modes keep the inline switch:
+        halo_queue = HaloSwitchQueue() if args.all and not args.method else None
+
+        def flush_halo(force=False):
+            nonlocal n_done
+            if halo_queue is None or not halo_queue.pending:
+                return
+            tic = default_timer()
+            flushed = halo_queue.flush(force=force)
+            if not flushed:
+                return
+            elap = (default_timer() - tic) / len(flushed)
+            tm.save_results([task_to_result(t, res, elap)
+                             for t, res in flushed])
+            for t, res in flushed:
+                n_done += 1
+                logger.info("Priority %d: TIC %d -> %s (halo flush)",
+                            t["priority"], t["starid"], res.status.name)
+
         while True:
             if args.random and not args.all:
                 batch = [tm.get_random_task()]
@@ -105,6 +127,10 @@ def main(argv=None) -> int:
                 batch = [t] if t else []
             if not batch:
                 break
+            # The queue pins its SectorContext: resolve it before the
+            # ContextCache evicts that context for a different CCD.
+            if halo_queue is not None and not halo_queue.matches(batch[0]):
+                flush_halo(force=True)
             tm.start_tasks([t["priority"] for t in batch])
 
             tic = default_timer()
@@ -120,17 +146,26 @@ def main(argv=None) -> int:
                 results = photometry_batch(ctx, batch,
                                            output_folder=None if args.output is None else output_folder,
                                            version=args.version,
-                                           plot_folder=output_folder if args.plot else None)
+                                           plot_folder=output_folder if args.plot else None,
+                                           halo_queue=halo_queue)
             finally:
                 ctx_cache.release(ctx, cached)
             elaptime = (default_timer() - tic) / max(len(batch), 1)
-            for t, res in zip(batch, results):
-                tm.save_result(task_to_result(t, res, elaptime))
+            # One transaction/commit for the whole device batch; deferred
+            # halo-switch candidates stay leased until their flush:
+            ready = [(t, res) for t, res in zip(batch, results)
+                     if not res.details.get("halo_switch_deferred")]
+            tm.save_results([task_to_result(t, res, elaptime)
+                             for t, res in ready])
+            for t, res in ready:
                 n_done += 1
                 logger.info("Priority %d: TIC %d -> %s", t["priority"],
                             t["starid"], res.status.name)
+            if halo_queue is not None and halo_queue.should_flush():
+                flush_halo()
             if not args.all:
                 break
+        flush_halo(force=True)
         logger.info("%d task(s) processed.", n_done)
     return 0
 

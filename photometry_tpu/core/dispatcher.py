@@ -33,7 +33,7 @@ from .status import STATUS
 logger = logging.getLogger(__name__)
 
 __all__ = ["photometry_batch", "photometry_single", "open_context",
-           "default_time_corrector", "ContextCache"]
+           "default_time_corrector", "ContextCache", "HaloSwitchQueue"]
 
 _HALO_SWITCH_ERRORS = ("Too many stamp resizes.",
                        "Stamp resize hit limit. Haloswitch quick break.")
@@ -172,9 +172,128 @@ def _needs_halo_switch(res: TargetResult, tmag_limit: float, flux_limit: float) 
     return False
 
 
+def _run_halo_switch(ctx, switch: list, prev_results: dict):
+    """Rerun halo photometry for switch candidates, decorated like the
+    reference's automatic switch (tessphot.py:86-111): the aperture pass's
+    edge_flux is carried over, the switch is recorded in the errors column,
+    and captured warnings persist.  Returns the decorated results in task
+    order, or None if the halo rerun itself failed (callers keep the
+    aperture results, like the reference's try/except around the rerun).
+    """
+    sids = [int(t["starid"]) for t in switch]
+    logger.warning("Auto-switching %d target(s) to halo photometry", len(sids))
+    try:
+        # Same decoration as the first-pass loop: warnings captured
+        # during the halo rerun persist into the diagnostics errors
+        # column, and the result carries the task metadata.
+        with capture_warnings() as halo_messages:
+            out = _run_method(ctx, sids, "halo")
+    except Exception:
+        logger.exception("Halo switch failed; keeping aperture results")
+        return None
+    for t, res in zip(switch, out):
+        prev = prev_results[int(t["starid"])]
+        res.details["edge_flux"] = prev.details.get("edge_flux")
+        res.details.setdefault("errors", []).append(
+            "Automatically switched to Halo photometry")
+        if halo_messages:
+            res.details["errors"].extend(halo_messages)
+        res.details.setdefault("task", {}).update(
+            {k: t.get(k) for k in ("priority", "datasource")})
+    return out
+
+
+class HaloSwitchQueue:
+    """Accumulate halo-switch candidates across lease batches.
+
+    The batched TV-min descent is latency-bound below ~32 targets — a
+    typical 256-target lease yields only a handful of switch candidates,
+    so rerunning them inline per batch pays the small-batch rate for the
+    whole drain (BENCH r4: 265 targets/s at batch 8 vs 1,187 at 32).
+    Candidates queue here instead and flush as one halo batch once
+    ``min_flush`` accumulate, when the drain moves to a different context
+    (the queue pins the SectorContext — flush BEFORE the ContextCache
+    evicts it), or at drain end (``flush(force=True)``).
+
+    Counterpart of the reference's per-target automatic switch
+    (tessphot.py:86-111), batched.
+    """
+
+    def __init__(self, min_flush: Optional[int] = None):
+        if min_flush is None:
+            min_flush = load_settings().getint("haloswitch", "min_batch",
+                                               fallback=32)
+        self.min_flush = max(int(min_flush), 1)
+        self._ctx = None
+        self._items = []      # (task, aperture TargetResult)
+        self._save_args = {}
+
+    @property
+    def pending(self) -> int:
+        return len(self._items)
+
+    def matches(self, task: dict) -> bool:
+        """Is the pinned context safe across ``task``'s batch?
+
+        TPF batches never evict the ContextCache's FFI slot (they open
+        per-target contexts), so they can interleave without a flush; an
+        FFI batch for a different CCD WILL evict (and close) the pinned
+        context, so the caller must flush first.
+        """
+        if self._ctx is None:
+            return True
+        if task["datasource"] != "ffi":
+            return True
+        return (int(task["sector"]) == self._ctx.sector
+                and int(task["camera"]) == self._ctx.camera
+                and int(task["ccd"]) == self._ctx.ccd)
+
+    def add(self, ctx, task: dict, aperture_result, **save_args):
+        assert ctx.datasource == "ffi", "TPF contexts are per-batch; defer only FFI"
+        assert self._ctx is None or self._ctx is ctx, \
+            "flush the queue before switching contexts"
+        self._ctx = ctx
+        self._save_args = save_args
+        self._items.append((task, aperture_result))
+
+    def should_flush(self) -> bool:
+        return len(self._items) >= self.min_flush
+
+    def flush(self, force: bool = False) -> list:
+        """Run the queued halo batch; returns resolved ``(task, result)``.
+
+        Below ``min_flush`` and not ``force``, returns [] (keeps queueing).
+        If the halo rerun fails, the original aperture results are resolved
+        instead (exactly the inline fallback).  Light-curve products are
+        written here with the save arguments captured at add-time.
+        """
+        if not self._items or (not force and not self.should_flush()):
+            return []
+        items, ctx = self._items, self._ctx
+        self._items, self._ctx = [], None
+        tasks = [t for t, _ in items]
+        prev = {int(t["starid"]): r for t, r in items}
+        out = _run_halo_switch(ctx, tasks, prev)
+        if out is None:
+            out = [r for _, r in items]
+            for r in out:
+                r.details.pop("halo_switch_deferred", None)
+        sa = self._save_args
+        if sa.get("save", True):
+            _save_results_parallel(ctx, out, sa.get("output_folder"),
+                                   sa.get("version"))
+        if sa.get("plot_folder"):
+            from ..diagnostics import plot_target_diagnostics
+            for res in out:
+                if res.status in (STATUS.OK, STATUS.WARNING):
+                    plot_target_diagnostics(res, ctx, sa["plot_folder"])
+        return list(zip(tasks, out))
+
+
 def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
                      version: Optional[int] = None, save: bool = True,
-                     plot_folder: Optional[str] = None) -> list:
+                     plot_folder: Optional[str] = None,
+                     halo_queue: Optional[HaloSwitchQueue] = None) -> list:
     """Run photometry for a batch of compatible tasks on one context.
 
     Tasks without an explicit method run aperture photometry; bright targets
@@ -184,6 +303,11 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
     When ``plot_folder`` is given, per-target diagnostic figures are rendered
     into ``<plot_folder>/plots/<starid>/`` (reference BasePhotometry.py:394-397;
     see :mod:`photometry_tpu.diagnostics`).
+
+    With ``halo_queue``, FFI halo-switch candidates are queued for a later
+    batched rerun instead of rerunning inline; their (interim) results come
+    back flagged ``details["halo_switch_deferred"]`` and must be withheld
+    from save_result until :meth:`HaloSwitchQueue.flush` resolves them.
     """
     settings = load_settings()
     tmag_limit = settings.getfloat("haloswitch", "tmag_limit", fallback=6.0)
@@ -247,27 +371,26 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
         if not str(t["datasource"]).startswith("tpf:") and _needs_halo_switch(
                 res, tmag_limit, flux_limit):
             switch.append(t)
-    if switch:
-        sids = [int(t["starid"]) for t in switch]
-        logger.warning("Auto-switching %d target(s) to halo photometry", len(sids))
-        try:
-            # Same decoration as the first-pass loop: warnings captured
-            # during the halo rerun persist into the diagnostics errors
-            # column, and the result carries the task metadata.
-            with capture_warnings() as halo_messages:
-                out = _run_method(ctx, sids, "halo")
+    if switch and halo_queue is not None and ctx.datasource == "ffi":
+        # Deferred mode: the batched TV-min program is latency-bound below
+        # ~32 targets (bench: 265 targets/s at the typical per-lease 8 vs
+        # 1,187 at 32) — queue candidates across lease batches and flush
+        # once enough accumulate (or at context change / drain end), so
+        # production pays the batch-32 rate.  The caller holds these
+        # results back from save_result until the flush resolves them.
+        for t in switch:
+            sid = int(t["starid"])
+            halo_queue.add(ctx, t, results[sid][1],
+                           save=save, output_folder=output_folder,
+                           version=version, plot_folder=plot_folder)
+            results[sid][1].details["halo_switch_deferred"] = True
+    elif switch:
+        out = _run_halo_switch(ctx, switch,
+                               {int(t["starid"]): results[int(t["starid"])][1]
+                                for t in switch})
+        if out is not None:
             for t, res in zip(switch, out):
-                prev_edge = results[int(t["starid"])][1].details.get("edge_flux")
-                res.details["edge_flux"] = prev_edge
-                res.details.setdefault("errors", []).append(
-                    "Automatically switched to Halo photometry")
-                if halo_messages:
-                    res.details["errors"].extend(halo_messages)
-                res.details.setdefault("task", {}).update(
-                    {k: t.get(k) for k in ("priority", "datasource")})
                 results[int(t["starid"])] = (t, res)
-        except Exception:
-            logger.exception("Halo switch failed; keeping aperture results")
 
     # Automatic deblend switch: aperture targets that are genuine blends —
     # a catalog neighbour holding >= [deblend] neighbour_flux_ratio of the
@@ -328,24 +451,60 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
         except Exception:
             logger.exception("Deblend switch failed; keeping aperture results")
 
-    final = []
-    for task in tasks:
-        _, res = results[int(task["starid"])]
-        if save and res.status in (STATUS.OK, STATUS.WARNING):
-            outdir = output_folder
-            if outdir is None:
-                outdir = os.path.join(ctx.input_folder,
-                                      f"c{ctx.cadence:04d}", f"{res.starid:011d}"[:5])
-            try:
-                res.save(outdir, version if version is not None else 1)
-            except Exception:
-                res.status = STATUS.ERROR
-                res.details.setdefault("errors", []).append(traceback.format_exc().strip())
-        if plot_folder is not None and res.status in (STATUS.OK, STATUS.WARNING):
-            from ..diagnostics import plot_target_diagnostics
-            plot_target_diagnostics(res, ctx, plot_folder)
-        final.append(res)
+    final = [results[int(task["starid"])][1] for task in tasks]
+    if save:
+        _save_results_parallel(ctx, final, output_folder, version)
+    if plot_folder is not None:
+        from ..diagnostics import plot_target_diagnostics
+        for res in final:
+            if (res.status in (STATUS.OK, STATUS.WARNING)
+                    and not res.details.get("halo_switch_deferred")):
+                plot_target_diagnostics(res, ctx, plot_folder)
     return final
+
+
+def _save_results_parallel(ctx, results: list, output_folder, version):
+    """Write light-curve products for OK/WARNING results, concurrently.
+
+    The per-target FITS+gzip write is the drain's hot host loop (the device
+    extracts >10k targets/s; a serial writer caps the pipeline at the
+    single-thread product rate).  zlib's deflate releases the GIL, so a
+    small thread pool ([products] writer_threads) overlaps compression
+    across targets.  All writes complete before returning; the failure
+    contract stays the reference's: a failed write demotes that target to
+    STATUS.ERROR with the traceback (BasePhotometry.py:1417-1728 via
+    tessphot.py:20-49).
+    """
+    jobs = []
+    for res in results:
+        if res.status not in (STATUS.OK, STATUS.WARNING):
+            continue
+        if res.details.get("halo_switch_deferred"):
+            continue  # resolved (and written) later by HaloSwitchQueue.flush
+        outdir = output_folder
+        if outdir is None:
+            outdir = os.path.join(ctx.input_folder,
+                                  f"c{ctx.cadence:04d}", f"{res.starid:011d}"[:5])
+        jobs.append((res, outdir))
+    if not jobs:
+        return
+
+    def _write(res, outdir):
+        try:
+            res.save(outdir, version if version is not None else 1)
+        except Exception:
+            res.status = STATUS.ERROR
+            res.details.setdefault("errors", []).append(
+                traceback.format_exc().strip())
+
+    workers = load_settings().getint("products", "writer_threads", fallback=4)
+    if workers <= 0 or len(jobs) == 1:
+        for res, outdir in jobs:
+            _write(res, outdir)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(workers, len(jobs))) as pool:
+        list(pool.map(lambda j: _write(*j), jobs))
 
 
 def photometry_single(starid: int, input_folder: str, method: Optional[str] = None,

@@ -161,5 +161,9 @@ def save_lightcurve(result, output_folder: str, version: int,
     filename = lightcurve_filename(result.starid, result.sector, result.camera,
                                    result.ccd, result.cadence, result.data_rel, version)
     filepath = os.path.join(output_folder, filename)
-    pf.write_fits(filepath, hdus)
+    # Deflate effort is the hot host cost of the production drain (~85% of
+    # a level-9 save); level 2 writes <2% larger files ~8x faster:
+    from ..io.settings import load_settings
+    level = load_settings().getint("products", "gzip_level", fallback=2)
+    pf.write_fits(filepath, hdus, gzip_level=level)
     return filepath

@@ -346,7 +346,7 @@ def BinTableHDU(columns: dict, header=None, name=None):
 # Reading
 # ---------------------------------------------------------------------------
 
-def _open_maybe_gzip(path, mode="rb"):
+def _open_maybe_gzip(path, mode="rb", compresslevel=6):
     if str(path).endswith(".gz"):
         if "r" in mode:
             # Whole-file native inflate (GIL-free zlib, native/fastio.cpp)
@@ -357,7 +357,7 @@ def _open_maybe_gzip(path, mode="rb"):
             with open(path, "rb") as fh:
                 data = fh.read()
             return _io.BytesIO(gunzip(data))
-        return gzip.open(path, mode)
+        return gzip.open(path, mode, compresslevel=compresslevel)
     return open(path, mode)
 
 
@@ -633,11 +633,18 @@ def _bintable_parts(cols: dict, user_header: Header, name) -> tuple:
     return hdr, raw + b"\x00" * pad
 
 
-def write_fits(path, hdus: list, overwrite: bool = True, checksum: bool = True):
+def write_fits(path, hdus: list, overwrite: bool = True, checksum: bool = True,
+               gzip_level: int = 6):
     """Write a list of HDUs to ``path`` (gzip if it ends with .gz).
 
     With ``checksum`` (default, like the reference's astropy writeto at
     BasePhotometry.py:1720-1722), every HDU gets CHECKSUM/DATASUM keywords.
+
+    ``gzip_level`` tunes deflate effort for ``.gz`` paths.  Level 9 (the
+    stdlib gzip default) spends ~8x the CPU of level 2 for <2% smaller
+    light-curve files on real payloads — per-target product writing is the
+    production drain's hot host loop, so the light-curve writer passes the
+    ``[products] gzip_level`` setting here (default 2).
     """
     if not overwrite:
         import os
@@ -668,5 +675,5 @@ def write_fits(path, hdus: list, overwrite: bool = True, checksum: bool = True):
         else:
             out.write(hdr.to_bytes() + raw)
     payload = out.getvalue()
-    with _open_maybe_gzip(path, "wb") as fh:
+    with _open_maybe_gzip(path, "wb", compresslevel=gzip_level) as fh:
         fh.write(payload)

@@ -47,8 +47,10 @@ _AUTHKEY_ENV = "PHOTOMETRY_TPU_SECRET"
 def _authkey() -> bytes:
     return os.environ.get(_AUTHKEY_ENV, "photometry-tpu").encode()
 
-# Message tags (run_tessphot_mpi.py:74):
-READY, START, DONE, EXIT = "READY", "START", "DONE", "EXIT"
+# Message tags (run_tessphot_mpi.py:74).  BYE is ours: EXIT is a *request*
+# the worker acknowledges, so a worker holding deferred halo-switch work can
+# still flush it (as DONE payloads) before saying BYE and closing.
+READY, START, DONE, EXIT, BYE = "READY", "START", "DONE", "EXIT", "BYE"
 
 
 def _result_to_dict(task, res, elaptime, worker_wait_time):
@@ -78,7 +80,7 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
-    from ..core.dispatcher import ContextCache, photometry_batch
+    from ..core.dispatcher import ContextCache, HaloSwitchQueue, photometry_batch
     from ..core.status import STATUS
 
     mesh = None
@@ -86,12 +88,32 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
         from .mesh import parse_mesh_spec
         mesh = parse_mesh_spec(mesh_spec)
     ctx_cache = ContextCache(mesh=mesh)
+    halo_queue = HaloSwitchQueue()
+
+    def _flush_halo(force=False):
+        """Resolve queued halo-switch candidates -> result dicts."""
+        if not halo_queue.pending:
+            return []
+        tic = default_timer()
+        flushed = halo_queue.flush(force=force)
+        if not flushed:
+            return []
+        elap = (default_timer() - tic) / len(flushed)
+        return [_result_to_dict(t, r, elap, None) for t, r in flushed]
+
     tic_wait = default_timer()
     conn.send((READY, None))
     while True:
         tag, payload = conn.recv()
         if tag == EXIT:
+            # Deferred halo-switch work still pending?  Flush and deliver
+            # it as one more DONE; the master will answer with EXIT again.
+            leftovers = _flush_halo(force=True)
+            if leftovers:
+                conn.send((DONE, leftovers))
+                continue
             ctx_cache.close()
+            conn.send((BYE, None))
             conn.close()
             return
         assert tag == START
@@ -113,6 +135,10 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
         ctx = None
         cached = False
         try:
+            # The halo queue pins its SectorContext; resolve it before the
+            # cache evicts that context for a different CCD:
+            results = (_flush_halo(force=True)
+                       if not halo_queue.matches(batch[0]) else [])
             from ..utils.profiling import StageTimer
             timer = StageTimer()
             with timer.stage("context"):
@@ -121,16 +147,24 @@ def worker_loop(conn, input_folder: str, output_folder: Optional[str],
                 ctx, cached = ctx_cache.get(input_folder, batch[0])
             with timer.stage("photometry"):
                 out = photometry_batch(ctx, batch, output_folder=output_folder,
-                                       version=version)
+                                       version=version, halo_queue=halo_queue)
             elap = (default_timer() - tic) / max(len(batch), 1)
-            results = [_result_to_dict(t, r, elap, worker_wait_time)
-                       for t, r in zip(batch, out)]
+            # Deferred halo-switch candidates stay leased (the master sees
+            # no result for them yet) until a later flush resolves them:
+            results += [_result_to_dict(t, r, elap, worker_wait_time)
+                        for t, r in zip(batch, out)
+                        if not r.details.get("halo_switch_deferred")]
+            if halo_queue.should_flush():
+                results += _flush_halo()
             if results:
                 results[-1]["details"].update(timer.as_details())
         except Exception:
             tb = traceback.format_exc().strip()
             elap = (default_timer() - tic) / max(len(batch), 1)
-            results = [{
+            # += keeps any already-flushed halo results gathered above —
+            # their queue entries are consumed, so dropping the dicts here
+            # would leave those tasks leased (STARTED) until a restart:
+            results += [{
                 "priority": t["priority"], "starid": t["starid"],
                 "sector": t["sector"], "camera": t["camera"], "ccd": t["ccd"],
                 "cadence": t["cadence"], "datasource": t["datasource"],
@@ -236,7 +270,8 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                 n = tm.release_tasks([t["priority"] for t in leased])
                 logger.error("Worker died mid-batch; released %d leased "
                              "task(s) back to the queue.", n)
-            if w["proc"] is not None and respawns_left > 0:
+            if (w["proc"] is not None and respawns_left > 0
+                    and tm.get_task(**constraints) is not None):
                 respawns_left -= 1
                 workers.append(_spawn_local())
                 n_active += 1
@@ -263,11 +298,18 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                 except (EOFError, OSError):
                     _reap(w)
                     continue
+                if tag == BYE:
+                    # Worker acknowledged EXIT (after flushing any deferred
+                    # halo work) and closed its end:
+                    w.pop("batch", None)
+                    w["alive"] = False
+                    n_active -= 1
+                    continue
                 if tag == DONE:
                     w.pop("batch", None)
                     for r in payload:
                         r["status"] = STATUS(r["status"])
-                        tm.save_result(r)
+                    tm.save_results(payload)  # one commit per worker batch
                 if tag in (READY, DONE):
                     batch = tm.get_task_batch(batch_size=batch_size, **constraints)
                     if batch:
@@ -281,12 +323,14 @@ def run_distributed(input_folder: str, n_workers: int = 2,
                             # instead of crashing the whole run.
                             _reap(w)
                     else:
+                        # EXIT is a request — the worker may still flush
+                        # deferred halo-switch results (as DONE) before it
+                        # answers BYE, so keep listening to it:
                         try:
                             conn.send((EXIT, None))
                         except (BrokenPipeError, OSError):
-                            pass  # it is exiting anyway
-                        w["alive"] = False
-                        n_active -= 1
+                            w["alive"] = False
+                            n_active -= 1
 
         for w in workers:
             if w["proc"] is None:      # remote worker: just drop the socket

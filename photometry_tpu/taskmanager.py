@@ -338,6 +338,25 @@ class TaskManager:
     # ------------------------------------------------------------------ results
     def save_result(self, result: dict):
         """Persist one result: status, skip arbitration, diagnostics row."""
+        self.cursor.execute("BEGIN TRANSACTION;")
+        try:
+            out = self._save_result_in_tx(result)
+            self.conn.commit()
+        except BaseException:
+            self.conn.rollback()
+            raise
+        self._post_save_accounting(result, *out)
+
+    def _save_result_in_tx(self, result: dict):
+        """Transactional body of :meth:`save_result`.
+
+        Runs inside an open transaction owned by the caller; returns
+        ``(my_status, additional_skipped, error_msg)`` for the post-commit
+        accounting.  Kept separate so :meth:`save_results` can persist a
+        whole device batch under ONE commit (one fsync) instead of one per
+        target — at drain rates the per-target commit is a measurable
+        fraction of the host product path.
+        """
         details = result.get("details", {})
         error_msg = list(details.get("errors", []) or [])
         my_status = result["status"]
@@ -348,110 +367,108 @@ class TaskManager:
         stamp_height = None if stamp is None else stamp[1] - stamp[0]
 
         additional_skipped = 0
-        self.cursor.execute("BEGIN TRANSACTION;")
-        try:
-            # Batch leasing can deliver a result for a target that a
-            # previously-saved batch-mate's arbitration already demoted to
-            # SKIPPED (both were in flight together).  The reference never
-            # leases a SKIPPED task again, so its unconditional status
-            # write is unreachable there (taskmanager.py:539-541 runs only
-            # for tasks that actually started); here the arbitration
-            # outcome must win: keep SKIPPED and ignore this result's own
-            # skip claims (in the reference's sequential order this target
-            # would never have run, so it could not have skipped anyone).
-            row = self.cursor.execute(
-                "SELECT status FROM todolist WHERE priority=?;",
-                (result["priority"],)).fetchone()
-            already_skipped = row is not None and row[0] == STATUS.SKIPPED.value
-            if already_skipped:
+        # Batch leasing can deliver a result for a target that a
+        # previously-saved batch-mate's arbitration already demoted to
+        # SKIPPED (both were in flight together).  The reference never
+        # leases a SKIPPED task again, so its unconditional status
+        # write is unreachable there (taskmanager.py:539-541 runs only
+        # for tasks that actually started); here the arbitration
+        # outcome must win: keep SKIPPED and ignore this result's own
+        # skip claims (in the reference's sequential order this target
+        # would never have run, so it could not have skipped anyone).
+        row = self.cursor.execute(
+            "SELECT status FROM todolist WHERE priority=?;",
+            (result["priority"],)).fetchone()
+        already_skipped = row is not None and row[0] == STATUS.SKIPPED.value
+        if already_skipped:
+            my_status = STATUS.SKIPPED
+            skip_targets = set()
+        else:
+            skip_targets = set(details.get("skip_targets", []) or [])
+        if skip_targets:
+            ds = result["datasource"]
+            if ds.startswith("tpf:") and int(ds[4:]) in skip_targets:
+                # A secondary target overlapping its own primary is
+                # always the one to skip:
+                primary = int(ds[4:])
+                row = self.cursor.execute(
+                    "SELECT priority FROM todolist WHERE starid=? AND datasource='tpf' "
+                    "AND sector=? AND camera=? AND ccd=? AND cadence=?;",
+                    (primary, result["sector"], result["camera"],
+                     result["ccd"], result["cadence"])).fetchone()
                 my_status = STATUS.SKIPPED
-                skip_targets = set()
-            else:
-                skip_targets = set(details.get("skip_targets", []) or [])
-            if skip_targets:
-                ds = result["datasource"]
-                if ds.startswith("tpf:") and int(ds[4:]) in skip_targets:
-                    # A secondary target overlapping its own primary is
-                    # always the one to skip:
-                    primary = int(ds[4:])
-                    row = self.cursor.execute(
-                        "SELECT priority FROM todolist WHERE starid=? AND datasource='tpf' "
-                        "AND sector=? AND camera=? AND ccd=? AND cadence=?;",
-                        (primary, result["sector"], result["camera"],
-                         result["ccd"], result["cadence"])).fetchone()
-                    my_status = STATUS.SKIPPED
-                    if row is not None:
-                        self.cursor.execute(
-                            "INSERT OR IGNORE INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
-                            (result["priority"], row[0]))
-                    else:
-                        error_msg.append(
-                            f"TargetNotFoundError: Could not find primary TPF target (TIC {primary:d})")
+                if row is not None:
+                    self.cursor.execute(
+                        "INSERT OR IGNORE INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
+                        (result["priority"], row[0]))
                 else:
-                    skip_starids = ",".join(str(int(s)) for s in skip_targets)
-                    if result["datasource"] == "tpf":
-                        skip_ds = f"'tpf','tpf:{result['starid']:d}'"
-                    else:
-                        skip_ds = "'" + result["datasource"] + "'"
-                    rows = self.cursor.execute(
-                        f"SELECT priority,tmag FROM todolist WHERE starid IN ({skip_starids}) "
-                        f"AND datasource IN ({skip_ds}) AND sector=? AND camera=? AND ccd=? AND cadence=?;",
-                        (result["sector"], result["camera"], result["ccd"],
-                         result["cadence"])).fetchall()
-                    if rows:
-                        skip_tmags = np.array([r["tmag"] for r in rows])
-                        if np.all(result["tmag"] < skip_tmags):
-                            # Brightest in the mask -> keep; skip the others.
+                    error_msg.append(
+                        f"TargetNotFoundError: Could not find primary TPF target (TIC {primary:d})")
+            else:
+                skip_starids = ",".join(str(int(s)) for s in skip_targets)
+                if result["datasource"] == "tpf":
+                    skip_ds = f"'tpf','tpf:{result['starid']:d}'"
+                else:
+                    skip_ds = "'" + result["datasource"] + "'"
+                rows = self.cursor.execute(
+                    f"SELECT priority,tmag FROM todolist WHERE starid IN ({skip_starids}) "
+                    f"AND datasource IN ({skip_ds}) AND sector=? AND camera=? AND ccd=? AND cadence=?;",
+                    (result["sector"], result["camera"], result["ccd"],
+                     result["cadence"])).fetchall()
+                if rows:
+                    skip_tmags = np.array([r["tmag"] for r in rows])
+                    if np.all(result["tmag"] < skip_tmags):
+                        # Brightest in the mask -> keep; skip the others.
+                        self.cursor.execute(
+                            "DELETE FROM photometry_skipped WHERE skipped_by=?;",
+                            (result["priority"],))
+                        for r in rows:
                             self.cursor.execute(
-                                "DELETE FROM photometry_skipped WHERE skipped_by=?;",
-                                (result["priority"],))
-                            for r in rows:
-                                self.cursor.execute(
-                                    f"UPDATE todolist SET status={STATUS.SKIPPED.value:d} WHERE priority=?;",
-                                    [r["priority"]])
-                                additional_skipped += self.cursor.rowcount
-                                self.cursor.execute(
-                                    "INSERT OR IGNORE INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
-                                    (r["priority"], result["priority"]))
-                        else:
-                            my_status = STATUS.SKIPPED
+                                f"UPDATE todolist SET status={STATUS.SKIPPED.value:d} WHERE priority=?;",
+                                [r["priority"]])
+                            additional_skipped += self.cursor.rowcount
                             self.cursor.execute(
                                 "INSERT OR IGNORE INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
-                                (result["priority"],
-                                 rows[int(np.argmin(skip_tmags))]["priority"]))
+                                (r["priority"], result["priority"]))
+                    else:
+                        my_status = STATUS.SKIPPED
+                        self.cursor.execute(
+                            "INSERT OR IGNORE INTO photometry_skipped (priority,skipped_by) VALUES (?,?);",
+                            (result["priority"],
+                             rows[int(np.argmin(skip_tmags))]["priority"]))
 
-            error_str = None if not error_msg else "\n".join(error_msg)
-            self.cursor.execute("UPDATE todolist SET status=? WHERE priority=?;",
-                                (my_status.value, result["priority"]))
-            pos = details.get("pos_centroid", (None, None))
-            self.cursor.execute(
-                "INSERT OR REPLACE INTO diagnostics (priority, lightcurve, method_used, "
-                "elaptime, worker_wait_time, pos_column, pos_row, mean_flux, variance, "
-                "variability, rms_hour, ptp, mask_size, edge_flux, contamination, "
-                "stamp_width, stamp_height, stamp_resizes, errors) "
-                "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?);", (
-                    result["priority"],
-                    details.get("filepath_lightcurve"),
-                    result["method_used"],
-                    result["time"],
-                    result.get("worker_wait_time"),
-                    pos[0], pos[1],
-                    details.get("mean_flux"),
-                    details.get("variance"),
-                    details.get("variability"),
-                    details.get("rms_hour"),
-                    details.get("ptp"),
-                    details.get("mask_size"),
-                    details.get("edge_flux"),
-                    details.get("contamination"),
-                    stamp_width, stamp_height,
-                    details.get("stamp_resizes", 0),
-                    error_str))
-            self.conn.commit()
-        except BaseException:
-            self.conn.rollback()
-            raise
+        error_str = None if not error_msg else "\n".join(error_msg)
+        self.cursor.execute("UPDATE todolist SET status=? WHERE priority=?;",
+                            (my_status.value, result["priority"]))
+        pos = details.get("pos_centroid", (None, None))
+        self.cursor.execute(
+            "INSERT OR REPLACE INTO diagnostics (priority, lightcurve, method_used, "
+            "elaptime, worker_wait_time, pos_column, pos_row, mean_flux, variance, "
+            "variability, rms_hour, ptp, mask_size, edge_flux, contamination, "
+            "stamp_width, stamp_height, stamp_resizes, errors) "
+            "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?);", (
+                result["priority"],
+                details.get("filepath_lightcurve"),
+                result["method_used"],
+                result["time"],
+                result.get("worker_wait_time"),
+                pos[0], pos[1],
+                details.get("mean_flux"),
+                details.get("variance"),
+                details.get("variability"),
+                details.get("rms_hour"),
+                details.get("ptp"),
+                details.get("mask_size"),
+                details.get("edge_flux"),
+                details.get("contamination"),
+                stamp_width, stamp_height,
+                details.get("stamp_resizes", 0),
+                error_str))
+        return my_status, additional_skipped, error_msg
 
+    def _post_save_accounting(self, result: dict, my_status, additional_skipped,
+                              error_msg):
+        """Post-commit bookkeeping: summary counters, EMA timings, backup."""
         self.summary["tasks_run"] += 1
         self.summary[my_status.name] += 1
         self.summary["STARTED"] -= 1
@@ -481,5 +498,22 @@ class TaskManager:
             self.backup()
 
     def save_results(self, results):
-        for r in results:
-            self.save_result(r)
+        """Persist a batch of results under ONE transaction/commit.
+
+        Arbitration semantics are identical to sequential
+        :meth:`save_result` calls — the shared connection sees each
+        result's uncommitted status writes, so in-batch skip arbitration
+        composes exactly as before; only the fsync is amortised.
+        """
+        results = list(results)
+        if not results:
+            return
+        self.cursor.execute("BEGIN TRANSACTION;")
+        try:
+            outs = [self._save_result_in_tx(r) for r in results]
+            self.conn.commit()
+        except BaseException:
+            self.conn.rollback()
+            raise
+        for r, out in zip(results, outs):
+            self._post_save_accounting(r, *out)
