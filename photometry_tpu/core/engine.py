@@ -568,30 +568,51 @@ def _extract_flux_sharded(ctx, masks, r0s, c0s, h: int, w: int, windows):
     return tuple(np.asarray(o)[:N, :T] for o in out)
 
 
-def _stamp_catalog(cat_all: dict, wcs, r0, r1, c0, c1, offset_rc=(0, 0),
-                   max_stars: int = 48, buffer_px: float = 5.0):
-    """Catalog stars within one stamp (+buffer), in stamp coordinates.
-
-    ``cat_all`` carries precomputed 0-based CCD 'row'/'col' for every catalog
-    star; offset_rc shifts CCD coords into (TPF) stamp frames.
-    """
+def _stamp_catalog_select(cat_all: dict, r0, r1, c0, c1, offset_rc=(0, 0),
+                          buffer_px: float = 5.0) -> np.ndarray:
+    """Indices of catalog stars within one stamp (+buffer), brightest first."""
     row = cat_all["row"] - offset_rc[0]
     col = cat_all["col"] - offset_rc[1]
     sel = ((row >= r0 - buffer_px) & (row <= r1 - 1 + buffer_px)
            & (col >= c0 - buffer_px) & (col <= c1 - 1 + buffer_px))
     idx = np.where(sel)[0]
-    if len(idx) > max_stars:
-        # keep the brightest (they dominate masks and contamination):
-        idx = idx[np.argsort(cat_all["tmag"][idx])[:max_stars]]
+    return idx[np.argsort(cat_all["tmag"][idx], kind="stable")]
+
+
+#: Padded catalog widths shared across batches so the mask-builder jit
+#: cache stays warm (same idea as the stamp-bucket ladder):
+_K_LADDER = (48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+
+
+def _catalog_bucket(n: int) -> int:
+    for b in _K_LADDER:
+        if b >= n:
+            return b
+    return int(n)
+
+
+def _stamp_catalog(cat_all: dict, idx: np.ndarray, r0, c0, pad_to: int,
+                   offset_rc=(0, 0)):
+    """Padded per-stamp catalog table from pre-selected indices.
+
+    ``pad_to`` is the shared batch width: callers size it to the LARGEST
+    star count in the round (``_catalog_bucket``), so — unlike the old
+    fixed 48-star cap — no star inside any stamp is ever silently dropped
+    (the reference uses every catalog star in the stamp,
+    k2p2v2.py:89-288 / photometry.py:222-250).  If ``pad_to`` is still
+    smaller (explicit user cap), the brightest stars win.
+    """
+    if len(idx) > pad_to:
+        idx = idx[:pad_to]  # brightest first from _stamp_catalog_select
     k = len(idx)
     out = {
-        "starid": np.zeros(max_stars, np.int64),
-        "row": np.full(max_stars, 1e9), "col": np.full(max_stars, 1e9),
-        "tmag": np.full(max_stars, 30.0), "valid": np.zeros(max_stars, bool),
+        "starid": np.zeros(pad_to, np.int64),
+        "row": np.full(pad_to, 1e9), "col": np.full(pad_to, 1e9),
+        "tmag": np.full(pad_to, 30.0), "valid": np.zeros(pad_to, bool),
     }
     out["starid"][:k] = cat_all["starid"][idx]
-    out["row"][:k] = row[idx] - r0
-    out["col"][:k] = col[idx] - c0
+    out["row"][:k] = cat_all["row"][idx] - offset_rc[0] - r0
+    out["col"][:k] = cat_all["col"][idx] - offset_rc[1] - c0
     out["tmag"][:k] = cat_all["tmag"][idx]
     out["valid"][:k] = True
     return out
@@ -635,11 +656,15 @@ def _full_catalog_positions(ctx) -> dict:
 # ---------------------------------------------------------------------------
 
 def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
-                           max_stars: int = 48,
+                           max_stars: Optional[int] = None,
                            k2p2_params: Optional[K2P2Params] = None) -> list:
     """K2P2 aperture photometry for a batch of targets on one context.
 
     Returns a list of :class:`TargetResult` in the order of ``starids``.
+
+    ``max_stars`` (default None = unlimited) optionally caps the per-stamp
+    catalog width; by default the width adapts to the most crowded stamp
+    in each retry round, so no catalog star in any stamp is dropped.
 
     The stamp-resize retry loop runs on the host over the shrinking set of
     targets whose mask touches a stamp edge (counterpart of
@@ -712,8 +737,20 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         bh = _bucket(max(s[1] - s[0] for s in hs), H)
         bw = _bucket(max(s[3] - s[2] for s in hs), W)
 
+        # Two-pass catalog build: select every star in every stamp first,
+        # then pad all tables to one shared width sized to the round's
+        # LARGEST count — crowded bright-target stamps can hold far more
+        # than the old fixed 48-star cap, and a silent brightest-48
+        # truncation loses skip_targets/contamination/watershed markers
+        # (reference k2p2v2.py:89-288 uses them all):
+        sel_idx = [_stamp_catalog_select(cat_all, s[0], s[1], s[2], s[3])
+                   for s in hs]
+        k_round = _catalog_bucket(max((len(ix) for ix in sel_idx), default=1))
+        if max_stars is not None:
+            k_round = min(k_round, int(max_stars))
+
         r0s, c0s, cats, sums, colls, trs, tcs, tts = [], [], [], [], [], [], [], []
-        for t, s in zip(active, hs):
+        for t, s, ix in zip(active, hs, sel_idx):
             # slice of bucket size fully inside the CCD, anchored at stamp:
             r0 = min(s[0], H - bh)
             c0 = min(s[2], W - bw)
@@ -724,8 +761,7 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             trs.append(t["row"] - r0)
             tcs.append(t["col"] - c0)
             tts.append(t["target"]["tmag"])
-            cats.append(_stamp_catalog(cat_all, ctx.wcs, s[0], s[1], s[2], s[3],
-                                       max_stars=max_stars))
+            cats.append(_stamp_catalog(cat_all, ix, s[0], s[2], k_round))
         r0s = jnp.asarray(np.array(r0s, np.int32))
         c0s = jnp.asarray(np.array(c0s, np.int32))
         stamps = _gather_stamps_image(sum_dev, r0s, c0s, bh, bw)
@@ -918,8 +954,10 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         metrics = {k: np.asarray(v) for k, v in metrics.items()}
 
         # PSF-flux completeness/crowding of the final masks (SPOC
-        # FLFRCSAP/CROWDSAP; see core.metrics.crowding_metrics_batch):
-        K = len(ok_targets[0]["cat"]["row"])
+        # FLFRCSAP/CROWDSAP; see core.metrics.crowding_metrics_batch).
+        # Targets from different retry rounds can carry different padded
+        # catalog widths (adaptive k_round); stack to the widest:
+        K = max(len(t["cat"]["row"]) for t in ok_targets)
         cm_row = np.full((len(ok_targets), K), 1e9, np.float32)
         cm_col = np.full((len(ok_targets), K), 1e9, np.float32)
         cm_flux = np.zeros((len(ok_targets), K), np.float32)
@@ -931,11 +969,12 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         for i, t in enumerate(ok_targets):
             c = t["cat"]
             s = t["clipped"]
-            cm_row[i] = c["row"] + (s[0] - r0s[i])
-            cm_col[i] = c["col"] + (s[2] - c0s[i])
-            cm_flux[i] = np.asarray(mag2flux(c["tmag"]), np.float32)
-            cm_valid[i] = c["valid"]
-            cm_istgt[i] = c["valid"] & (c["starid"] == t["starid"])
+            k = len(c["row"])
+            cm_row[i, :k] = c["row"] + (s[0] - r0s[i])
+            cm_col[i, :k] = c["col"] + (s[2] - c0s[i])
+            cm_flux[i, :k] = np.asarray(mag2flux(c["tmag"]), np.float32)
+            cm_valid[i, :k] = c["valid"]
+            cm_istgt[i, :k] = c["valid"] & (c["starid"] == t["starid"])
             cm_trow[i] = t["row"] - r0s[i]
             cm_tcol[i] = t["col"] - c0s[i]
             # the target's own flux, independent of the K slot tables (it
