@@ -196,3 +196,61 @@ def test_halo_objective_and_sigclip_on_saturated_sim(halo_setup):
         assert all(s >= 9 for s in wm["sat_pixels"]), wm["sat_pixels"]
     finally:
         ctx.images = old
+
+
+def test_halo_switch_queue_defers_and_flushes(halo_setup, tmp_path, monkeypatch):
+    """Deferred halo switching (VERDICT r4 #4): candidates accumulate across
+    lease batches and rerun as ONE halo batch, with the same decoration as
+    the inline switch (reference tessphot.py:86-111)."""
+    import glob
+    import os
+    from photometry_tpu.core import dispatcher as disp
+
+    sim, ctx = halo_setup
+    bright = [int(s) for s in sim.starid[np.argsort(sim.tmag)[:2]]]
+    # Force the switch condition for our two brightest targets:
+    monkeypatch.setattr(
+        disp, "_needs_halo_switch",
+        lambda res, tmag_limit, flux_limit: res.starid in bright)
+
+    def task(sid, prio):
+        return {"starid": sid, "datasource": "ffi", "sector": 1, "camera": 3,
+                "ccd": 2, "cadence": 1800, "priority": prio, "method": None,
+                "tmag": float(sim.tmag[sim.starid == sid][0])}
+
+    hq = disp.HaloSwitchQueue(min_flush=2)
+    out = str(tmp_path / "lc")
+
+    # Batch 1: candidate deferred, nothing written, result flagged:
+    res1 = disp.photometry_batch(ctx, [task(bright[0], 1)],
+                                 output_folder=out, version=1, halo_queue=hq)[0]
+    assert res1.details.get("halo_switch_deferred")
+    assert hq.pending == 1 and not hq.should_flush()
+    assert not glob.glob(os.path.join(out, "*.fits.gz"))
+
+    # Batch 2: second candidate reaches min_flush:
+    disp.photometry_batch(ctx, [task(bright[1], 2)],
+                          output_folder=out, version=1, halo_queue=hq)
+    assert hq.pending == 2 and hq.should_flush()
+    flushed = hq.flush()
+    assert hq.pending == 0
+    assert sorted(int(t["starid"]) for t, _ in flushed) == sorted(bright)
+    for t, res in flushed:
+        assert res.method == "halo"
+        assert res.status in (STATUS.OK, STATUS.WARNING)
+        assert any("Automatically switched to Halo" in e
+                   for e in res.details["errors"])
+        assert not res.details.get("halo_switch_deferred")
+        assert os.path.exists(res.details["filepath_lightcurve"])
+    # Flushed fluxes match a direct batched halo run on the same context:
+    direct = extract_halo_batch(ctx, [int(t["starid"]) for t, _ in flushed])
+    for (t, res), ref in zip(flushed, direct):
+        np.testing.assert_allclose(res.lightcurve["flux"], ref.lightcurve["flux"],
+                                   rtol=1e-5, equal_nan=True)
+
+    # Context pinning: a task from another CCD must force a flush first:
+    assert hq.matches(task(bright[0], 9))
+    other = dict(task(bright[0], 9), ccd=1)
+    hq.add(ctx, task(bright[0], 9), res1, save=False)
+    assert not hq.matches(other)
+    assert len(hq.flush(force=True)) == 1
