@@ -182,17 +182,21 @@ def download_catalogs(input_folder: str, sector: int, camera=None, ccd=None) -> 
     """Fetch prebuilt catalog SQLite files when not already present.
 
     Counterpart of reference catalog.py:338-388 (tasoc.dk fetch): the source
-    URL template comes from ``PHOTOMETRY_TPU_CATALOG_URL`` (placeholders
-    ``{sector}``, ``{camera}``, ``{ccd}``). Without a source configured,
-    existing files are returned and missing ones are simply reported — this
-    environment has no egress, so catalogs normally come from
-    :func:`make_catalog` or the simulator.
+    URL template comes from ``PHOTOMETRY_TPU_CATALOG_URL`` or the
+    ``[catalog] url`` settings key (placeholders ``{sector}``, ``{camera}``,
+    ``{ccd}``) — the same mechanism as ``[timecorr] ephemeris_url``.
+    Without a source configured, existing files are returned and missing
+    ones are simply reported — this environment has no egress, so catalogs
+    normally come from :func:`make_catalog` or the simulator.
     """
     import logging
     logger = logging.getLogger(__name__)
     cameras = [1, 2, 3, 4] if camera is None else list(np.atleast_1d(camera))
     ccds = [1, 2, 3, 4] if ccd is None else list(np.atleast_1d(ccd))
     url_tpl = os.environ.get("PHOTOMETRY_TPU_CATALOG_URL")
+    if not url_tpl:
+        from .io.settings import load_settings
+        url_tpl = load_settings().get("catalog", "url", fallback="").strip() or None
     out = []
     for cam in cameras:
         for c in ccds:

@@ -44,3 +44,66 @@ def test_download_catalogs_from_template(tmp_path, monkeypatch):
     # Second call: already present, no re-download:
     got2 = download_catalogs(str(dest), 1, camera=3, ccd=2)
     assert got2 == got
+
+
+def test_catalog_cmd_builds_from_tic_extract(tmp_path):
+    """run_make_catalog CLI parity (reference run_make_catalog.py:69):
+    builds catalog sqlite files from a TIC extract file."""
+    from photometry_tpu.cli import catalog_cmd
+    from photometry_tpu.catalog import StarCatalog, catalog_filename
+
+    rng = np.random.default_rng(5)
+    n = 25
+    src = str(tmp_path / "tic.npz")
+    np.savez(src, starid=np.arange(1, n + 1), ra=rng.uniform(10, 12, n),
+             dec=rng.uniform(-40, -38, n), pm_ra=rng.normal(0, 10, n),
+             pm_dec=rng.normal(0, 10, n), tmag=rng.uniform(6, 14, n))
+    d = str(tmp_path / "input")
+    os.makedirs(d)
+    code = catalog_cmd.main(["-q", "--camera", "3", "--ccd", "2",
+                             "--tic-source", src, "1", d])
+    assert code == 0
+    path = os.path.join(d, catalog_filename(1, 3, 2))
+    assert os.path.exists(path)
+    cat = StarCatalog(path)
+    stars = cat.all_stars()
+    assert len(stars["starid"]) == n
+    cat.close()
+
+
+def test_catalog_cmd_settings_url(tmp_path, monkeypatch):
+    """[catalog] url settings key fetches prebuilt catalogs (mirror of the
+    [timecorr] ephemeris_url mechanism)."""
+    import configparser
+    from photometry_tpu.catalog import catalog_filename, download_catalogs
+    from photometry_tpu.io import settings as io_settings
+
+    server = tmp_path / "server"
+    server.mkdir()
+    (server / catalog_filename(2, 1, 1)).write_bytes(b"sqlite-placeholder")
+    ini = tmp_path / "settings.ini"
+    base = io_settings.load_settings()
+    cfg = configparser.ConfigParser()
+    cfg.read_dict({s: dict(base.items(s)) for s in base.sections()})
+    cfg["catalog"]["url"] = ("file://" + str(server)
+                             + "/catalog_sector{sector:03d}_camera{camera}_ccd{ccd}.sqlite")
+    with open(ini, "w") as fh:
+        cfg.write(fh)
+    monkeypatch.setenv("PHOTOMETRY_TPU_SETTINGS", str(ini))
+    monkeypatch.delenv("PHOTOMETRY_TPU_CATALOG_URL", raising=False)
+    io_settings.load_settings.cache_clear()
+    try:
+        d = tmp_path / "input"
+        d.mkdir()
+        got = download_catalogs(str(d), 2, camera=1, ccd=1)
+        assert len(got) == 1 and os.path.exists(got[0])
+    finally:
+        io_settings.load_settings.cache_clear()
+
+
+def test_catalog_cmd_no_source_errors(tmp_path, monkeypatch):
+    from photometry_tpu.cli import catalog_cmd
+    monkeypatch.delenv("PHOTOMETRY_TPU_CATALOG_URL", raising=False)
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    assert catalog_cmd.main(["-q", "--camera", "1", "--ccd", "1", "3", d]) == 1
