@@ -70,25 +70,20 @@ class SpacecraftEphemeris:
     @classmethod
     def synthetic(cls, jd_start: float, jd_end: float, step_days: float = 0.25
                   ) -> "SpacecraftEphemeris":
-        """Analytic Earth + TESS-like orbit ephemeris (test/validation grade)."""
+        """Analytic Earth + TESS-like orbit ephemeris (validation grade).
+
+        Earth positions are BARYCENTRIC: heliocentric low-precision solar
+        coordinates plus the Sun-SSB offset from giant-planet Kepler
+        elements (core/ephem_analytic) — the offset is up to ~2.5
+        light-seconds and omitting it (as before round 5) dominated the
+        absolute Rømer error.  Residual absolute error ~0.1 light-seconds;
+        the TESS HEO itself is an analytic stand-in (flight orbit needs a
+        Horizons export, tools/make_ephemeris.py).
+        """
+        from .ephem_analytic import earth_barycentric, tess_geocentric
         t = np.arange(jd_start, jd_end + step_days, step_days)
-        d = t - 2451545.0  # days since J2000
-        # Earth orbit (low-precision analytic, ecliptic -> equatorial):
-        g = np.deg2rad((357.529 + 0.98560028 * d) % 360.0)      # mean anomaly
-        L = np.deg2rad((280.459 + 0.98564736 * d) % 360.0)      # mean longitude
-        lam = L + np.deg2rad(1.915) * np.sin(g) + np.deg2rad(0.020) * np.sin(2 * g)
-        r = (1.00014 - 0.01671 * np.cos(g) - 0.00014 * np.cos(2 * g)) * AU_KM
-        eps = np.deg2rad(23.4393)
-        # Sun position seen from Earth; Earth wrt Sun is the negative:
-        sun_x = r * np.cos(lam)
-        sun_y = r * np.sin(lam) * np.cos(eps)
-        sun_z = r * np.sin(lam) * np.sin(eps)
-        earth = -np.stack([sun_x, sun_y, sun_z], axis=1)
-        # TESS geocentric orbit: 13.7 d period, ~240000 km mean distance:
-        ph = 2 * np.pi * (d % 13.7) / 13.7
-        tess_geo = 240000.0 * np.stack([np.cos(ph), np.sin(ph) * 0.9,
-                                        np.sin(ph) * 0.4], axis=1)
-        return cls(time=t, pos=earth + tess_geo, pos_earth=earth)
+        earth = earth_barycentric(t)
+        return cls(time=t, pos=earth + tess_geocentric(t), pos_earth=earth)
 
 
 class TimeCorrector:
