@@ -78,13 +78,28 @@ def _encode_checksum(value: int) -> str:
 
 
 def _hdu_bytes_with_checksum(hdr: Header, data_raw: bytes) -> bytes:
-    """Render one HDU with valid DATASUM/CHECKSUM keywords."""
+    """Render one HDU with valid DATASUM/CHECKSUM keywords.
+
+    The header is rendered ONCE with the '0'*16 CHECKSUM placeholder and the
+    encoded value patched into the card bytes in place — re-rendering the
+    whole header for the final value doubled the hot product path's card
+    formatting cost.
+    """
     datasum = _ones_complement_sum(data_raw)
     hdr.set("DATASUM", str(datasum), "data unit checksum")
     hdr.set("CHECKSUM", "0" * 16, "HDU checksum")
-    total = _ones_complement_sum(hdr.to_bytes(), start=datasum)
-    hdr.set("CHECKSUM", _encode_checksum(total), "HDU checksum")
-    return hdr.to_bytes() + data_raw
+    raw_hdr = bytearray(hdr.to_bytes())
+    total = _ones_complement_sum(bytes(raw_hdr), start=datasum)
+    encoded = _encode_checksum(total)
+    hdr.set("CHECKSUM", encoded, "HDU checksum")
+    # The placeholder card renders as CHECKSUM= '0000000000000000' — the
+    # 16 encoded chars land exactly where the 16 zeros sit (cards are
+    # 80-byte aligned, value starts at column 10, string opens with a quote):
+    off = raw_hdr.find(b"CHECKSUM= '0000000000000000'")
+    if off < 0 or off % 80:  # unexpected layout: fall back to a re-render
+        return hdr.to_bytes() + data_raw
+    raw_hdr[off + 11:off + 27] = encoded.encode("ascii")
+    return bytes(raw_hdr) + data_raw
 
 
 def verify_checksums(path) -> list:
@@ -675,5 +690,14 @@ def write_fits(path, hdus: list, overwrite: bool = True, checksum: bool = True,
         else:
             out.write(hdr.to_bytes() + raw)
     payload = out.getvalue()
-    with _open_maybe_gzip(path, "wb", compresslevel=gzip_level) as fh:
-        fh.write(payload)
+    if str(path).endswith(".gz"):
+        # One-shot native gzip (libdeflate, GIL-free — native/fastio.cpp)
+        # instead of the incremental stdlib stream: the per-target product
+        # write is the production drain's hot host loop.
+        from ..native_ops import gzip_compress
+        blob = gzip_compress(payload, level=gzip_level)
+        with open(path, "wb") as fh:
+            fh.write(blob)
+    else:
+        with open(path, "wb") as fh:
+            fh.write(payload)

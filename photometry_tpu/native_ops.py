@@ -20,7 +20,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 __all__ = ["native_available", "bswap_f32", "bswap_crop_f32",
-           "moving_median_f32", "gunzip"]
+           "moving_median_f32", "gunzip", "gzip_compress"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libptfastio.so")
@@ -53,7 +53,10 @@ def _load():
             # native library in/out when hunting memory corruption).
             logger.info("Native library disabled by PHOTOMETRY_TPU_NO_NATIVE.")
             return None
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # make is a cheap mtime no-op when the .so is current, and rebuilds
+        # it when fastio.cpp is newer (a stale library would silently miss
+        # entry points added since it was compiled):
+        if not _build() and not os.path.exists(_LIB_PATH):
             logger.info("Native library unavailable; using NumPy fallbacks.")
             return None
         try:
@@ -69,8 +72,14 @@ def _load():
                                   ctypes.c_void_p, ctypes.c_int64]
         lib.pt_gunzip.restype = ctypes.c_int64
         lib.pt_version.restype = ctypes.c_int
-        if lib.pt_version() != 1:
+        version = lib.pt_version()
+        if version < 1:
             return None
+        if version >= 2:
+            lib.pt_gzip.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int]
+            lib.pt_gzip.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -118,6 +127,36 @@ def moving_median_f32(x: np.ndarray, window: int) -> np.ndarray:
     out = np.empty_like(flat)
     lib.pt_moving_median_f32(flat.ctypes.data, T, P, window, out.ctypes.data)
     return out.reshape(shape)
+
+
+def gzip_compress(data: bytes, level: int = 2) -> bytes:
+    """Gzip a whole buffer (native libdeflate path with Python fallback).
+
+    The per-target light-curve product write is the production drain's hot
+    host loop; libdeflate compresses ~3-4x faster than zlib at comparable
+    ratios and stamps MTIME=0, making products byte-reproducible.  ``level``
+    is deflate effort (1 = fastest; native accepts up to 12, the fallback
+    clamps to zlib's 9).  The ctypes call releases the GIL, so the product
+    writer thread pool overlaps compressions.
+    """
+    lib = _load()
+    if lib is not None and hasattr(lib, "pt_gzip") and len(data):
+        inp = np.frombuffer(data, dtype=np.uint8)
+        # gzip overhead is 18 bytes + deflate's worst case of ~n + n/4000:
+        cap = len(data) + len(data) // 1000 + 256
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.pt_gzip(inp.ctypes.data, len(data), out.ctypes.data, cap,
+                        int(level))
+        if n < 0 and n == -2:      # capacity miss (shouldn't happen): retry 2x
+            cap *= 2
+            out = np.empty(cap, dtype=np.uint8)
+            n = lib.pt_gzip(inp.ctypes.data, len(data), out.ctypes.data, cap,
+                            int(level))
+        if n > 0:
+            return out[:n].tobytes()
+    import gzip as _gz
+    # mtime=0 keeps the fallback byte-reproducible like the native path:
+    return _gz.compress(data, compresslevel=min(max(int(level), 0), 9), mtime=0)
 
 
 def gunzip(data: bytes, expected_size: int = 0) -> bytes:
