@@ -20,6 +20,7 @@ import functools
 import logging
 import os
 import traceback
+from timeit import default_timer as _timer
 from typing import Optional
 
 import numpy as np
@@ -219,7 +220,7 @@ class HaloSwitchQueue:
     (tessphot.py:86-111), batched.
     """
 
-    def __init__(self, min_flush: Optional[int] = None):
+    def __init__(self, min_flush: Optional[int] = None, timers: Optional[dict] = None):
         if min_flush is None:
             min_flush = load_settings().getint("haloswitch", "min_batch",
                                                fallback=32)
@@ -227,6 +228,7 @@ class HaloSwitchQueue:
         self._ctx = None
         self._items = []      # (task, aperture TargetResult)
         self._save_args = {}
+        self._timers = timers
 
     @property
     def pending(self) -> int:
@@ -273,7 +275,10 @@ class HaloSwitchQueue:
         self._items, self._ctx = [], None
         tasks = [t for t, _ in items]
         prev = {int(t["starid"]): r for t, r in items}
+        tic = _timer()
         out = _run_halo_switch(ctx, tasks, prev)
+        if self._timers is not None:
+            self._timers["photometry"] += _timer() - tic
         if out is None:
             out = [r for _, r in items]
             for r in out:
@@ -281,7 +286,7 @@ class HaloSwitchQueue:
         sa = self._save_args
         if sa.get("save", True):
             _save_results_parallel(ctx, out, sa.get("output_folder"),
-                                   sa.get("version"))
+                                   sa.get("version"), timers=self._timers)
         if sa.get("plot_folder"):
             from ..diagnostics import plot_target_diagnostics
             for res in out:
@@ -293,7 +298,8 @@ class HaloSwitchQueue:
 def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
                      version: Optional[int] = None, save: bool = True,
                      plot_folder: Optional[str] = None,
-                     halo_queue: Optional[HaloSwitchQueue] = None) -> list:
+                     halo_queue: Optional[HaloSwitchQueue] = None,
+                     timers: Optional[dict] = None) -> list:
     """Run photometry for a batch of compatible tasks on one context.
 
     Tasks without an explicit method run aperture photometry; bright targets
@@ -308,6 +314,10 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
     batched rerun instead of rerunning inline; their (interim) results come
     back flagged ``details["halo_switch_deferred"]`` and must be withheld
     from save_result until :meth:`HaloSwitchQueue.flush` resolves them.
+
+    ``timers`` (a core.drain.new_timers dict) accumulates the wall of the
+    photometry phase (device programs + their host pre/post) vs the product
+    ``save`` phase, for the drain's end-to-end decomposition.
     """
     settings = load_settings()
     tmag_limit = settings.getfloat("haloswitch", "tmag_limit", fallback=6.0)
@@ -345,6 +355,7 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
     results = {}
     for method, group in by_method.items():
         sids = [int(t["starid"]) for t in group]
+        tic = _timer()
         # Warnings logged during the photometry are persisted into the
         # diagnostics errors column (BasePhotometry.py:171-179, 1409-1414):
         with capture_warnings() as log_messages:
@@ -355,6 +366,8 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
                 tb = traceback.format_exc().strip()
                 logger.exception("Method %s failed for batch", method)
                 out = [_error_result(t, ctx, tb) for t in group]
+        if timers is not None:
+            timers["photometry"] += _timer() - tic
         if log_messages:
             for res in out:
                 res.details.setdefault("errors", []).extend(log_messages)
@@ -385,9 +398,12 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
                            version=version, plot_folder=plot_folder)
             results[sid][1].details["halo_switch_deferred"] = True
     elif switch:
+        tic = _timer()
         out = _run_halo_switch(ctx, switch,
                                {int(t["starid"]): results[int(t["starid"])][1]
                                 for t in switch})
+        if timers is not None:
+            timers["photometry"] += _timer() - tic
         if out is not None:
             for t, res in zip(switch, out):
                 results[int(t["starid"])] = (t, res)
@@ -427,6 +443,7 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
         sids = [int(t["starid"]) for t in deblend]
         logger.warning("Auto-switching %d blended target(s) to linPSF "
                        "photometry", len(sids))
+        tic = _timer()
         try:
             with capture_warnings() as lin_messages:
                 out = _run_method(ctx, sids, "linpsf")
@@ -450,10 +467,13 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
                 results[int(t["starid"])] = (t, res)
         except Exception:
             logger.exception("Deblend switch failed; keeping aperture results")
+        if timers is not None:
+            timers["photometry"] += _timer() - tic
 
     final = [results[int(task["starid"])][1] for task in tasks]
     if save:
-        _save_results_parallel(ctx, final, output_folder, version)
+        _save_results_parallel(ctx, final, output_folder, version,
+                               timers=timers)
     if plot_folder is not None:
         from ..diagnostics import plot_target_diagnostics
         for res in final:
@@ -463,7 +483,8 @@ def photometry_batch(ctx, tasks: list, output_folder: Optional[str] = None,
     return final
 
 
-def _save_results_parallel(ctx, results: list, output_folder, version):
+def _save_results_parallel(ctx, results: list, output_folder, version,
+                           timers: Optional[dict] = None):
     """Write light-curve products for OK/WARNING results, concurrently.
 
     The per-target FITS+gzip write is the drain's hot host loop (the device
@@ -475,6 +496,7 @@ def _save_results_parallel(ctx, results: list, output_folder, version):
     STATUS.ERROR with the traceback (BasePhotometry.py:1417-1728 via
     tessphot.py:20-49).
     """
+    tic = _timer()
     jobs = []
     for res in results:
         if res.status not in (STATUS.OK, STATUS.WARNING):
@@ -501,10 +523,13 @@ def _save_results_parallel(ctx, results: list, output_folder, version):
     if workers <= 0 or len(jobs) == 1:
         for res, outdir in jobs:
             _write(res, outdir)
-        return
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=min(workers, len(jobs))) as pool:
-        list(pool.map(lambda j: _write(*j), jobs))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(workers, len(jobs))) as pool:
+            list(pool.map(lambda j: _write(*j), jobs))
+    if timers is not None:
+        timers["save"] += _timer() - tic
+        timers["n_products"] = timers.get("n_products", 0) + len(jobs)
 
 
 def photometry_single(starid: int, input_folder: str, method: Optional[str] = None,
