@@ -121,13 +121,31 @@ def _median_block(padded, size: int, rows: int, W: int):
     lo = jnp.min(stack, axis=0) - 1                # count(<= lo) = 0 < target
     hi = jnp.max(stack, axis=0)
 
+    def _avg(a, b):                                # overflow-safe floor avg
+        return (a & b) + ((a ^ b) >> 1)
+
+    # 8-ary bisection (same as ops.stats.masked_median): each pass streams
+    # the k^2-deep stack from HBM ONCE and tests seven probes with cheap
+    # fused VPU compares, so 12 passes resolve the full int32 key range
+    # where 1-bit halving needed 33 — the stack reads are this filter's
+    # entire cost at CCD scale (~3.8 GB/pass on a 2048^2 frame at k=15).
     def body(_, lohi):
         lo, hi = lohi
-        mid = (lo & hi) + ((lo ^ hi) >> 1)         # overflow-safe floor avg
-        ge = jnp.sum(stack <= mid[None], axis=0) >= target
-        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+        m4 = _avg(lo, hi)
+        m2, m6 = _avg(lo, m4), _avg(m4, hi)
+        mids = jnp.stack([_avg(lo, m2), m2, _avg(m2, m4), m4,
+                          _avg(m4, m6), m6, _avg(m6, hi)])  # (7, rows, W)
+        # (K, 1, rows, W) <= (1, 7, rows, W), reduced over K — XLA fuses the
+        # broadcast compare into the reduction, so the stack streams once:
+        cnt = jnp.sum(stack[:, None] <= mids[None], axis=0)  # (7, rows, W)
+        ge = cnt >= target
+        # smallest probe with count >= target -> hi; largest below -> lo
+        # (probes are sorted, so min/max over the probe axis select them):
+        new_hi = jnp.min(jnp.where(ge, mids, hi[None]), axis=0)
+        new_lo = jnp.max(jnp.where(ge, lo[None], mids), axis=0)
+        return new_lo, new_hi
 
-    lo, hi = jax.lax.fori_loop(0, 33, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, 12, body, (lo, hi))
     # hi has collapsed onto the key of the target order statistic:
     return _ordkey_to_f32(hi)
 

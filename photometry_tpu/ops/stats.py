@@ -84,15 +84,32 @@ def masked_median(x, good, iters: int = 33, min_bisect: int = 256):
     lo = kmin - 1
     hi = kmax
 
+    def _avg(a, b):
+        # overflow-safe floor average of two int32s:
+        return (a & b) + ((a ^ b) >> 1)
+
+    # 8-ary bisection: each pass tests SEVEN interior probes, shrinking the
+    # key interval 8x.  Every pass streams the full key/good arrays from HBM
+    # once regardless of probe count (the probe compares are cheap VPU work
+    # fused into one reduction), so 3 bits/pass cuts the memory traffic of
+    # the dominant background-tile medians ~3x vs classic 1-bit bisection.
+    # ceil(33/3) + 1 safety = 12 passes resolve the full int32 range.
     def body(_, lohi):
         lo, hi = lohi
-        # overflow-safe floor average of two int32s:
-        mid = (lo & hi) + ((lo ^ hi) >> 1)
-        cnt = jnp.sum((key <= mid[..., None]) & good, axis=-1)
-        ge = cnt >= k1
-        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+        m4 = _avg(lo, hi)
+        m2, m6 = _avg(lo, m4), _avg(m4, hi)
+        m1, m3 = _avg(lo, m2), _avg(m2, m4)
+        m5, m7 = _avg(m4, m6), _avg(m6, hi)
+        mids = jnp.stack([m1, m2, m3, m4, m5, m6, m7], axis=-1)  # (..., 7)
+        cnt = jnp.sum((key[..., None, :] <= mids[..., :, None])
+                      & good[..., None, :], axis=-1)             # (..., 7)
+        ge = cnt >= k1[..., None]
+        new_hi = jnp.min(jnp.where(ge, mids, hi[..., None]), axis=-1)
+        new_lo = jnp.max(jnp.where(ge, lo[..., None], mids), axis=-1)
+        return new_lo, new_hi
 
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    passes = -(-(iters) // 3) + 1
+    lo, hi = jax.lax.fori_loop(0, passes, body, (lo, hi))
     # hi has collapsed onto the key of the k1-th order statistic (the
     # interval (lo, hi] contains >= 1 element and hi is the smallest key
     # with count(<= hi) >= k1).
