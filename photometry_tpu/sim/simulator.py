@@ -213,13 +213,21 @@ class SimulatedSector:
                (np.abs(self.col_ref - (c0 + w / 2)) < w / 2 + 8)
         base = _np_mag2flux(self.tmag)
         periods, phases, amps = _variability(self.starid, cfg, rng)
-        for k in range(n_times):
-            frame = np.zeros((h, w))
-            for j in np.where(near)[0]:
-                fl = base[j] * (1 + amps[j] * np.sin(2 * np.pi * (t[k] - t[0]) / periods[j] + phases[j]))
-                frame += _np_integrated_gaussian(xx, yy, fl,
-                                                 self.col_ref[j] + dcol[k], self.row_ref[j] + drow[k], cfg.psf_sigma)
-            flux[k] = frame
+        # Vectorised over the time axis (a real fast TPF is ~118k cadences;
+        # the per-cadence Python loop took minutes there), chunked so the
+        # (chunk, h, w) erf temporaries stay tens of MB:
+        chunk_t = 8192
+        for j in np.where(near)[0]:
+            for k0 in range(0, n_times, chunk_t):
+                k1 = min(k0 + chunk_t, n_times)
+                tk = t[k0:k1]
+                fl = base[j] * (1 + amps[j] * np.sin(
+                    2 * np.pi * (tk - t[0]) / periods[j] + phases[j]))
+                flux[k0:k1] += _np_integrated_gaussian(
+                    xx[None], yy[None], fl[:, None, None],
+                    (self.col_ref[j] + dcol[k0:k1])[:, None, None],
+                    (self.row_ref[j] + drow[k0:k1])[:, None, None],
+                    cfg.psf_sigma).astype(np.float32)
         bkg = np.full((n_times, h, w), cfg.bkg_level, np.float32)
         exptime = cadence * 0.8  # effective integration per cadence, seconds
         sigma = np.sqrt((flux + bkg) / exptime + (cfg.read_noise / exptime) ** 2).astype(np.float32)
