@@ -220,18 +220,16 @@ def test_tiebreak_delta_bound(corpus_run):
     assert stats["single"]["stamps"] >= 300
     assert stats["single"]["max_flux_delta"] == 0.0
     assert stats["single"]["mean_pixel_diff_rate"] == 0.0
-    # 2. Multi-star stamps differ ONLY in watershed-split boundary
-    #    placement, where the reference's own answer is heap-insertion-order
-    #    dependent (skimage floods by (elevation, FIFO age); our
-    #    steepest-ascent adoption is the closest deterministic parallel rule
-    #    measured: 1.3% of cluster pixels vs 2.1% for a lexicographic
-    #    (level, geodesic) flood and 4.2% for pointer chasing).  The
-    #    photometric capture quality of splits is separately bounded by
-    #    tests/test_deblending.py.
-    assert stats["multi"]["mean_pixel_diff_rate"] < 0.05
-    assert stats["multi"]["mean_flux_delta"] < 0.02
-    assert stats["multi"]["p99_flux_delta"] < 0.20
-    assert stats["multi"]["max_flux_delta"] < 0.30
+    # 2. Multi-star stamps: the pop-order watershed (maximin pop
+    #    priorities + argmax-priority adoption, ops/labeling) reproduces
+    #    the reference flood's split boundaries up to exact float ties in
+    #    the pop priority — 0.038% of cluster pixels and p99 flux delta
+    #    0.0 on the 10k corpus (tools/tiebreak_corpus_scale.py, PARITY.md).
+    #    The bounds below are deliberately loose CI tripwires.
+    assert stats["multi"]["mean_pixel_diff_rate"] < 0.005
+    assert stats["multi"]["mean_flux_delta"] < 0.005
+    assert stats["multi"]["p99_flux_delta"] < 0.02
+    assert stats["multi"]["max_flux_delta"] < 0.10
 
 
 @pytest.mark.slow
@@ -296,5 +294,9 @@ def test_delivered_blend_quality(corpus_run):
     assert switch.sum() >= 10, "the switch predicate never fires on the corpus"
     # the gate of record:
     assert np.percentile(fd[delivered], 99) < 0.05
-    # and the switch must be catching the bad tail, not random stamps:
-    assert np.percentile(fd[ok], 99) > np.percentile(fd[delivered], 99)
+    # and the switch must be catching the bad tail, not random stamps —
+    # unless there IS no bad tail: with the pop-order watershed
+    # (ops/labeling.watershed_segment) the corpus masks match the reference
+    # flood exactly (p99 flux delta 0.0), so equality is the success case:
+    assert (np.percentile(fd[ok], 99) < 0.01
+            or np.percentile(fd[ok], 99) > np.percentile(fd[delivered], 99))
