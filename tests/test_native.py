@@ -71,3 +71,23 @@ def test_gunzip_trailing_garbage_falls_back():
     # and the wrapper falls back — either way we must not silently truncate.
     with pytest.raises(Exception):
         native_ops.gunzip(gz)
+
+
+def test_gzip_compress_roundtrip_and_determinism():
+    """The light-curve product writer's native gzip (libdeflate when built
+    with it, stdlib fallback otherwise): valid gzip streams, decodable by
+    both the stdlib and the native inflate path, and byte-reproducible
+    (MTIME=0) so identical results give identical product files."""
+    payload = (b"FITS" * 50000) + bytes(range(256)) * 100
+    blob = native_ops.gzip_compress(payload, level=2)
+    assert gzip.decompress(blob) == payload
+    assert native_ops.gunzip(blob) == payload
+    assert blob == native_ops.gzip_compress(payload, level=2)
+    # incompressible input must still round-trip (worst-case sizing):
+    import numpy as np
+    noise = np.random.default_rng(3).integers(0, 256, 300000,
+                                              dtype=np.uint8).tobytes()
+    blob = native_ops.gzip_compress(noise, level=1)
+    assert gzip.decompress(blob) == noise
+    # empty payload:
+    assert gzip.decompress(native_ops.gzip_compress(b"", level=2)) == b""
