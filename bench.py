@@ -654,6 +654,7 @@ def bench_drain():
     a production multi-CCD run.
     """
     import shutil
+    _enable_compile_cache()
     root, pristine = _drain_input_folder()
     from photometry_tpu.core.drain import new_timers, run_drain
 

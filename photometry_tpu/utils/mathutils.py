@@ -23,13 +23,25 @@ TESS_ZEROPOINT = 20.451
 
 
 def mag2flux(mag, zp: float = TESS_ZEROPOINT):
-    """Approximate conversion from TESS magnitude to flux (e-/s)."""
-    return jnp.clip(10.0 ** (-0.4 * (jnp.asarray(mag) - zp)), 0.0, None)
+    """Approximate conversion from TESS magnitude to flux (e-/s).
+
+    Dtype-transparent: jax inputs (incl. tracers) stay on device; host
+    scalars/ndarrays compute in NumPy.  The drain's per-target host calls
+    (engine result assembly, dispatcher halo-switch predicate) previously
+    paid one eager device dispatch + fetch EACH — ~30 ms of tunnel RTT per
+    target, the dominant cost of the measured production drain.
+    """
+    if isinstance(mag, jax.Array):
+        return jnp.clip(10.0 ** (-0.4 * (mag - zp)), 0.0, None)
+    return np.clip(10.0 ** (-0.4 * (np.asarray(mag, np.float64) - zp)),
+                   0.0, None)
 
 
 def flux2mag(flux, zp: float = TESS_ZEROPOINT):
-    """Inverse of :func:`mag2flux`."""
-    return -2.5 * jnp.log10(jnp.asarray(flux)) + zp
+    """Inverse of :func:`mag2flux` (dtype-transparent like it)."""
+    if isinstance(flux, jax.Array):
+        return -2.5 * jnp.log10(flux) + zp
+    return -2.5 * np.log10(np.asarray(flux, np.float64)) + zp
 
 
 def add_proper_motion(ra, dec, pm_ra, pm_dec, bjd, epoch=2000.0):
