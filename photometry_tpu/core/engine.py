@@ -44,6 +44,7 @@ DEFAULT_K2P2_PARAMS = K2P2Params(thresh=0.8, min_no_pixels_in_mask=4,
                                  ws_footprint=3, segmentation=True,
                                  extend_overflow=True)
 from ..quality import PixelQualityFlags, TESSQualityFlags
+from ..utils.fetch import fetch_all, fetch_dict
 from ..utils.mathutils import mag2flux
 from .metrics import compute_metrics_batch, crowding_metrics_batch
 from .motion import MotionModel
@@ -794,10 +795,8 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         out = build_masks_batch(stamps, cat_col, cat_row, cat_tmag, cat_sid,
                                 cat_valid, t_row, t_col, t_tmag,
                                 collected=coll, params=k2p2_params)
-        masks = np.asarray(out["mask"])
-        found = np.asarray(out["found_mask"])
-        no_flux = np.asarray(out["no_flux"])
-        in_mask = np.asarray(out["in_mask"])
+        masks, found, no_flux, in_mask = fetch_all(
+            out["mask"], out["found_mask"], out["no_flux"], out["in_mask"])
 
         # Edge contact of the *logical* stamp:
         for i, t in enumerate(active):
@@ -932,11 +931,7 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
                 ctx.images, ctx.images_err, ctx.backgrounds, ctx.pixelflags,
                 jnp.asarray(masks_f), jnp.asarray(r0s), jnp.asarray(c0s),
                 bh, bw, jnp.asarray(windows_f))
-        flux = np.asarray(flux)
-        ferr = np.asarray(ferr)
-        fbkg = np.asarray(fbkg)
-        cent = np.asarray(cent)
-        shen = np.asarray(shen)
+        flux, ferr, fbkg, cent, shen = fetch_all(flux, ferr, fbkg, cent, shen)
 
         # pos_corr for every target over time:
         rows = np.array([t["row"] for t in ok_targets])
@@ -951,7 +946,7 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
         metrics = compute_metrics_batch(
             jnp.asarray(ctx.time), jnp.asarray(flux), jnp.asarray(ferr),
             jnp.asarray(ctx.quality), jnp.asarray(cent))
-        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        metrics = fetch_dict(metrics)
 
         # PSF-flux completeness/crowding of the final masks (SPOC
         # FLFRCSAP/CROWDSAP; see core.metrics.crowding_metrics_batch).
@@ -988,7 +983,7 @@ def extract_aperture_batch(ctx, starids, retries: Optional[int] = None,
             jnp.asarray(cm_istgt), jnp.asarray(cm_trow),
             jnp.asarray(cm_tcol), jnp.asarray(cm_tflux),
             jnp.float32(psf_sigma))
-        crowding = {k: np.asarray(v) for k, v in crowding.items()}
+        crowding = fetch_dict(crowding)
 
     for i, t in enumerate(ok_targets):
         tgt = t["target"]

@@ -25,6 +25,7 @@ import numpy as np
 from ..core.metrics import compute_metrics_batch
 from ..ops.smallsolve import solve_spd_small
 from ..core.status import STATUS
+from ..utils.fetch import fetch_all, fetch_dict
 from .psf_common import (CUTOFF_RADIUS, context_prf, minimum_aperture_mask,
                          setup_psf_target)
 
@@ -179,8 +180,6 @@ def extract_linpsf_batch(ctx, starids, prf=None, keep_diag: bool = False,
                 logger.exception("AOT-compiled linPSF program failed; "
                                  "falling back to jit")
                 out = linpsf_timeseries_batch(*lin_args, prf, (bh, bw), S)
-            fluxes = np.asarray(out["fluxes"], np.float64)              # (N, T, S)
-
             tr_b = np.array([st.target_row + (st.stamp[0] - r0)
                              for st, r0, _ in group])
             tc_b = np.array([st.target_col + (st.stamp[2] - c0)
@@ -188,17 +187,21 @@ def extract_linpsf_batch(ctx, starids, prf=None, keep_diag: bool = False,
             mini_b = np.stack([minimum_aperture_mask((bh, bw), tr, tcol)
                                for tr, tcol in zip(tr_b, tc_b)])
             target_idx = np.array([st.target_idx for st, _, _ in group])
+
+            # Photon-noise flux error estimate from the variance map; the
+            # three device outputs fetch together (each sync np.asarray
+            # costs a full RTT):
+            mini_dev = jnp.asarray(mini_b)[:, None]
+            fluxes, var, fbkg = fetch_all(
+                out["fluxes"],
+                jnp.nansum(jnp.where(mini_dev, jnp.abs(imgs + bkgs)
+                                     + var_const, 0.0), axis=(2, 3)),
+                jnp.nansum(jnp.where(mini_dev, bkgs, 0.0), axis=(2, 3)))
+            fluxes = fluxes.astype(np.float64)                          # (N, T, S)
             flux = np.take_along_axis(
                 fluxes, target_idx[:, None, None], axis=2)[:, :, 0]     # (N, T)
-
-            # Photon-noise flux error estimate from the variance map:
-            var = np.asarray(jnp.nansum(jnp.where(
-                jnp.asarray(mini_b)[:, None],
-                jnp.abs(imgs + bkgs) + var_const, 0.0), axis=(2, 3)))
             flux_err = np.sqrt(np.maximum(var, 0.0))                    # (N, T)
-            fbkg = np.asarray(jnp.nansum(
-                jnp.where(jnp.asarray(mini_b)[:, None], bkgs, 0.0),
-                axis=(2, 3)), np.float64)
+            fbkg = fbkg.astype(np.float64)
 
             pos = np.stack([
                 np.take_along_axis(cols_t, target_idx[:, None, None],
@@ -211,7 +214,7 @@ def extract_linpsf_batch(ctx, starids, prf=None, keep_diag: bool = False,
                 jnp.asarray(ctx.time), jnp.asarray(flux),
                 jnp.asarray(flux_err), jnp.asarray(ctx.quality),
                 jnp.asarray(pos))
-            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            metrics = fetch_dict(metrics)
 
             diag_models = diag_data = diag_mid = None
             if keep_diag:

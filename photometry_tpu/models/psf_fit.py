@@ -30,6 +30,7 @@ import numpy as np
 from ..core.metrics import compute_metrics_batch
 from ..ops.smallsolve import solve_spd_small, spd_inverse_diag_small
 from ..core.status import STATUS
+from ..utils.fetch import fetch_all, fetch_dict
 from .psf_common import (CUTOFF_RADIUS, context_prf, minimum_aperture_mask,
                          setup_psf_target)
 
@@ -471,21 +472,24 @@ def extract_psf_batch(ctx, starids, lhood_stat: str = "Gaussian_d",
                                  "falling back to jit")
                 out = fit_psf_timeseries_batch(*fit_args, prf, (bh, bw), S,
                                                lhood_stat)
-            flux = np.asarray(out["flux"], np.float64)                  # (N, T)
-            flux_err = np.asarray(out["flux_err"], np.float64)
-            pos = np.asarray(out["pos"], np.float64)                    # (N, T, 2)
+            # fetches overlapped — each sync np.asarray costs a full RTT:
+            flux, flux_err, pos, fbkg = fetch_all(
+                out["flux"], out["flux_err"], out["pos"],
+                jnp.nansum(jnp.where(jnp.asarray(mini)[:, None], bkgs, 0.0),
+                           axis=(2, 3)))
+            flux = flux.astype(np.float64)                              # (N, T)
+            flux_err = flux_err.astype(np.float64)
+            pos = pos.astype(np.float64)                                # (N, T, 2)
+            fbkg = fbkg.astype(np.float64)
             # centroid in 1-based CCD coords (MOM_CENTR convention):
             cent = np.stack([pos[:, :, 1] + c0s[:, None] + 1,
                              pos[:, :, 0] + r0s[:, None] + 1], axis=2)
-            fbkg = np.asarray(jnp.nansum(
-                jnp.where(jnp.asarray(mini)[:, None], bkgs, 0.0),
-                axis=(2, 3)), np.float64)
 
             metrics = compute_metrics_batch(
                 jnp.asarray(ctx.time), jnp.asarray(flux),
                 jnp.asarray(flux_err), jnp.asarray(ctx.quality),
                 jnp.asarray(cent))
-            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            metrics = fetch_dict(metrics)
 
             diag_models = diag_data = diag_mid = None
             if keep_diag:
