@@ -291,10 +291,19 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER,
 
     N = len(work)
     # Pixel axis padded to a common lane-friendly width (masked pixels get
-    # weight exactly 0 in the softmax):
+    # weight exactly 0 in the softmax); the BATCH axis pads to a power of
+    # two (min 8) so drains compile one TV-min program per bucket instead
+    # of one per candidate count — the accumulated HaloSwitchQueue flush
+    # size varies per drain, and a fresh descent compile costs minutes on
+    # the remote service.  Padding rows are constant-flux dummies (their
+    # descent is independent and their rows are sliced off below).
+    Npad = 8
+    while Npad < N:
+        Npad *= 2
     Ppad = max(128, int(-(-max(f.shape[1] for f in fns) // 128) * 128))
-    fn_pad = np.ones((N, T, Ppad), np.float32)
-    pix_ok = np.zeros((N, Ppad), bool)
+    fn_pad = np.ones((Npad, T, Ppad), np.float32)
+    pix_ok = np.zeros((Npad, Ppad), bool)
+    pix_ok[N:, 0] = True
     for i, f in enumerate(fns):
         fn_pad[i, :, :f.shape[1]] = f
         pix_ok[i, :f.shape[1]] = True
@@ -311,7 +320,7 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER,
             continue
         seg_idx = np.where(seg)[0]
         gt = (quality_ok & seg)[seg_idx]                    # shared (T_seg,)
-        gt_b = np.broadcast_to(gt, (N, gt.size))
+        gt_b = np.broadcast_to(gt, (Npad, gt.size))
         fseg = fn_dev[:, seg_idx]
         w_b, _tv = tvmin_weights_batch(fseg, jnp.asarray(gt_b), pix_dev,
                                        maxiter=maxiter, objective=objective)
@@ -321,8 +330,8 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER,
             # whole batch re-optimises with per-target keep masks (targets
             # that don't clip rerun with their original mask — the descent
             # is deterministic, so their weights are unchanged):
-            F0 = np.einsum("ntp,np->nt", fn_pad[:, seg_idx], w_b)
-            keep_b = np.empty((N, gt.size), bool)
+            F0 = np.einsum("ntp,np->nt", fn_pad[:N, seg_idx], w_b[:N])
+            keep_b = np.broadcast_to(gt, (Npad, gt.size)).copy()
             any_clip = False
             for i in range(N):
                 medF = np.nanmedian(F0[i][gt])
@@ -338,7 +347,7 @@ def extract_halo_batch(ctx, starids, maxiter: int = MAXITER,
                     fseg, jnp.asarray(keep_b), pix_dev,
                     maxiter=maxiter, objective=objective)
                 w_b = np.asarray(w_b, np.float64)
-        seg_weights.append((seg_idx, w_b))
+        seg_weights.append((seg_idx, w_b[:N]))
 
     # ---- Phase 5: per-target light curves + results -----------------------
     for i, (sid, tgt, row, col, r0, c0, pixel_mask) in enumerate(work):
