@@ -552,8 +552,13 @@ def bench_prepare(chunk=16, T=T_SECTOR):
     }
 
 
-def bench_backgrounds(n_frames=16, tile=64):
-    """Secondary metric: FFI backgrounds/sec per CCD stack (prepare stage)."""
+def bench_backgrounds(n_frames=64, tile=64):
+    """Secondary metric: FFI backgrounds/sec per CCD stack (prepare stage).
+
+    ``n_frames=64`` is the production prepare chunk (prepare_one default):
+    most of the stage's cost is per-op overhead amortised by batching
+    frames into one program (16-frame chunks measured ~18 frames/s vs
+    ~28 at 64 on the same kernels)."""
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, ".")
@@ -773,6 +778,11 @@ def main():
     halo_batch_rate = bench_halo(n_targets=32)
     tpf_rate = bench_tpf()
     try:
+        prepare = bench_prepare()
+    except Exception as exc:
+        sys.stderr.write(f"bench_prepare failed: {exc!r}\n")
+        prepare = None
+    try:
         drain = bench_drain()
     except Exception as exc:  # never let the drain row kill the whole bench
         sys.stderr.write(f"bench_drain failed: {exc!r}\n")
@@ -795,6 +805,11 @@ def main():
         "halo_sector_targets_per_sec": round(float(halo_rate), 2),
         "halo_sector_batch32_targets_per_sec": round(float(halo_batch_rate), 2),
         "tpf_short_cadence_targets_per_sec": round(float(tpf_rate), 2),
+        "prepare_device_sec_per_sector_ccd": (
+            round(float(prepare["sec_per_sector_ccd"]), 2) if prepare else None),
+        "prepare_stage_sec_per_frame": (
+            {k: round(float(v), 4) for k, v in
+             prepare["stage_sec_per_frame"].items()} if prepare else None),
         "e2e_drain_targets_per_sec": (round(float(drain["rate"]), 2)
                                       if drain else None),
         "e2e_drain": ({k: drain[k] for k in

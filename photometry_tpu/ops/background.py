@@ -81,15 +81,25 @@ def radial_coordinates(shape, camera: int, ccd: int, col_offset: int = 44) -> np
 # ---------------------------------------------------------------------------
 
 def _radial_component(img, mask, r, ring_idx, n_rings, bin_centers, smooth: int,
-                      hist_method: str = "auto"):
-    """Radial corner-glow profile evaluated back onto the 2-D radius image."""
+                      hist_method: str = "auto", hist_stride: int = 1):
+    """Radial corner-glow profile evaluated back onto the 2-D radius image.
+
+    ``hist_stride`` subsamples the MODE HISTOGRAM's input pixels (every
+    stride-th row/column); the profile is still evaluated at full
+    resolution.  Full CCDs put ~10^4-10^5 pixels in every 15-px ring, so a
+    2x2 subsample changes each ring's mode estimate well below its own
+    sampling noise while cutting the dominant one-hot histogram cost 4x
+    (callers gate it on frame size; small frames always use every pixel).
+    """
     good = ~mask
     pix = jnp.where(good, img, jnp.nan)
     zeropoint = -jnp.nanmin(pix) + 1.0
     logpix = jnp.log10(img + zeropoint)
 
-    modes = segment_kde_mode(logpix.ravel(), ring_idx.ravel(), n_rings,
-                             mask=mask.ravel(), min_count=8,
+    s = hist_stride
+    modes = segment_kde_mode(logpix[::s, ::s].ravel(),
+                             ring_idx[::s, ::s].ravel(), n_rings,
+                             mask=mask[::s, ::s].ravel(), min_count=8,
                              method=hist_method)
     if smooth:
         modes = moving_median_central(modes, smooth)
@@ -187,10 +197,10 @@ def _tiled_mode(img, mask, tile: int, exclude_fraction: float):
 
 @functools.partial(jax.jit, static_argnames=(
     "n_rings", "bkgiters", "tile", "radial_smooth", "use_radial",
-    "hist_method"))
+    "hist_method", "hist_stride"))
 def _estimate_background_jit(images, mask, r, ring_idx, bin_centers,
                              n_rings, bkgiters, tile, radial_smooth, use_radial,
-                             hist_method="auto"):
+                             hist_method="auto", hist_stride=1):
     def one_frame(img, msk):
         bkg_radial = jnp.zeros_like(img)
         bkg_square = jnp.zeros_like(img)
@@ -199,7 +209,8 @@ def _estimate_background_jit(images, mask, r, ring_idx, bin_centers,
                 bkg_radial = _radial_component(img - bkg_square, msk, r,
                                                ring_idx, n_rings, bin_centers,
                                                radial_smooth,
-                                               hist_method=hist_method)
+                                               hist_method=hist_method,
+                                               hist_stride=hist_stride)
             bkg_square = _tiled_mode(img - bkg_radial, msk, tile,
                                      exclude_fraction=0.5)
         total = bkg_radial + bkg_square
@@ -298,9 +309,13 @@ def estimate_background(images, mask=None, camera: Optional[int] = None,
     except Exception:
         platform = jax.default_backend()
     hist_method = "scatter" if platform == "cpu" else "matmul"
+    # Full CCDs subsample the ring-mode histogram 2x2 (see
+    # _radial_component); sub-CCD frames keep every pixel:
+    hist_stride = 2 if (H * W >= 2_000_000 and platform != "cpu") else 1
     bkg = _estimate_background_jit(images, base_mask, r, ring_idx, bin_centers,
                                    n_rings, bkgiters, tile, radial_smooth,
-                                   use_radial, hist_method=hist_method)
+                                   use_radial, hist_method=hist_method,
+                                   hist_stride=hist_stride)
     if squeeze:
         return bkg[0], base_mask[0]
     return bkg, base_mask
