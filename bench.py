@@ -523,23 +523,31 @@ def bench_prepare(chunk=16, T=T_SECTOR):
     timed("backgrounds", run_bkg)
     timed("smoothing", run_smooth)
     timed("sumimage", run_sumimage)
-    # shenanigans_residual is host-orchestrated (median_filter2d_chunked
-    # pulls each filtered block back) — on the dev tunnel the transfers
-    # would swamp the kernel, so time its device program directly at the
-    # production block shape:
+    # shenanigans_residual is host-orchestrated (median_filter2d_chunked);
+    # on the dev tunnel the per-block input transfers would swamp the
+    # kernel, so time ONE FRAME's worth of device programs (all row
+    # blocks, dispatched async, one completion fetch — exactly the
+    # production fetch pattern) on a device-resident padded frame:
     from photometry_tpu.ops.filters import _median_block
     half = 7
     rows = max(8, int(3e8 / (15 * 15 * 4 * (W + 2 * half))))
     padded = jnp.pad(imgs[0], half, mode="symmetric").block_until_ready()
+    starts = list(range(0, H, rows))
 
-    def run_median_block():
-        np.asarray(_median_block(padded[:rows + 2 * half], 15, rows, W)[0, 0])
+    def run_median_frame():
+        devs = [_median_block(
+            jax.lax.dynamic_slice_in_dim(padded, r0,
+                                         min(rows, H - r0) + 2 * half, 0),
+            15, min(rows, H - r0), W) for r0 in starts]
+        for d in devs:
+            d.copy_to_host_async()
+        for d in devs:
+            np.asarray(d)
 
-    timed("shenanigans_median_block", run_median_block)
-    blocks_per_frame = -(-H // rows)
+    timed("shenanigans_median_frame", run_median_frame)
     per_chunk = (stages["backgrounds"] + stages["smoothing"]
                  + stages["sumimage"])
-    per_frame_median = stages["shenanigans_median_block"] * blocks_per_frame
+    per_frame_median = stages["shenanigans_median_frame"]
     total = per_chunk * n_chunks + per_frame_median * T
     return {
         "sec_per_sector_ccd": total,
