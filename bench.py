@@ -729,6 +729,36 @@ def bench_reference_numpy(sumimage, rows, cols, n_targets=2, h=STAMP, w=STAMP):
     return N / dt
 
 
+def _row_in_subprocess(fn_name: str, timeout_s: int):
+    """Run one bench row in a killable subprocess, returning its dict.
+
+    The prepare/drain rows are the long ones and touch the device for
+    minutes; a mid-run tunnel stall inside them would otherwise hang the
+    WHOLE bench past the driver's timeout and lose every row (the
+    contract is one JSON line at the end).  A timed-out or crashed row
+    returns None and the rest of the bench still reports.
+    """
+    import os
+    import subprocess
+    code = ("import sys, json; sys.path.insert(0, '.'); import bench; "
+            f"print('ROW::' + json.dumps(bench.{fn_name}()))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s, env=dict(os.environ),
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench row {fn_name} timed out after {timeout_s}s\n")
+        return None
+    sys.stderr.write(proc.stderr[-2000:] + "\n")
+    for line in proc.stdout.splitlines():
+        if line.startswith("ROW::"):
+            return json.loads(line[5:])
+    sys.stderr.write(f"bench row {fn_name} produced no result "
+                     f"(exit {proc.returncode})\n")
+    return None
+
+
 def _wait_for_device(total_wait_s=1500, probe_timeout_s=120):
     """Block until ``jax.devices()`` responds; ride out transient tunnel
     outages instead of hanging the whole bench.
@@ -785,16 +815,10 @@ def main():
     halo_rate = bench_halo()
     halo_batch_rate = bench_halo(n_targets=32)
     tpf_rate = bench_tpf()
-    try:
-        prepare = bench_prepare()
-    except Exception as exc:
-        sys.stderr.write(f"bench_prepare failed: {exc!r}\n")
-        prepare = None
-    try:
-        drain = bench_drain()
-    except Exception as exc:  # never let the drain row kill the whole bench
-        sys.stderr.write(f"bench_drain failed: {exc!r}\n")
-        drain = None
+    # The two long rows run in killable subprocesses so a mid-row device
+    # stall cannot take down the whole bench (see _row_in_subprocess):
+    prepare = _row_in_subprocess("bench_prepare", timeout_s=900)
+    drain = _row_in_subprocess("bench_drain", timeout_s=2100)
     ref_rate = bench_reference_numpy(sumimage, rows, cols)
     result = {
         "metric": "aperture_extraction_targets_per_sec_per_chip",
